@@ -1,0 +1,291 @@
+"""BGZF (block-gzip) reader/writer with .gzi index support.
+
+The reference tool relies on htslib's BGZF + ``bgzip -rI``-style ``.gzi``
+virtual-offset indexes for random access into the pan-kmer bitmap
+(reference panagram/index.py:539-543,793-799,827-845 and cpp/anchor.cpp:46-54,
+102-106).  Neither htslib, pysam, nor Bio.bgzf are available here, so this is
+a from-scratch implementation of the same on-disk format:
+
+* each block is an independent gzip member with a BC extra subfield holding
+  the compressed block size; uncompressed payload <= 65280 bytes per block;
+* the file ends with the standard 28-byte BGZF EOF marker;
+* the ``.gzi`` index is ``(n_entries: u64, [compressed_off: u64,
+  uncompressed_off: u64] * n_entries)`` listing the start of every block
+  after the first (the reference reader prepends an implicit (0, 0) entry,
+  panagram/index.py:793-799).
+
+A native C++ accelerator (panagram_tpu/native/bgzf_native.cpp) is used for
+compression when built; this module transparently falls back to zlib.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import struct
+import zlib
+
+import numpy as np
+
+# htslib BGZF_BLOCK_SIZE = 0xff00: max uncompressed payload bytes per block.
+MAX_BLOCK_DATA = 0xFF00
+
+# Standard BGZF EOF marker (an empty block), identical to htslib's.
+EOF_MARKER = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000"
+)
+
+_HEADER = struct.Struct("<4BI2BH2BHH")  # gzip header + XLEN + BC subfield
+
+
+def _block_header(bsize: int) -> bytes:
+    return _HEADER.pack(
+        0x1F, 0x8B, 0x08, 0x04,  # magic, deflate, FEXTRA
+        0,                        # mtime
+        0, 0xFF,                  # XFL, OS=unknown
+        6,                        # XLEN
+        0x42, 0x43,               # 'B','C'
+        2,                        # SLEN
+        bsize - 1,                # BSIZE (total block size minus 1)
+    )
+
+
+def make_virtual_offset(block_start_offset: int, within_block_offset: int) -> int:
+    """Bio.bgzf-compatible virtual offset: coffset<<16 | uoffset."""
+    if within_block_offset >= 65536:
+        raise ValueError("within_block_offset must be < 65536")
+    return (block_start_offset << 16) | within_block_offset
+
+
+def split_virtual_offset(voffset: int) -> tuple[int, int]:
+    return voffset >> 16, voffset & 0xFFFF
+
+
+def _try_native():
+    try:
+        from ..native import bgzf_native
+
+        return bgzf_native
+    except Exception:
+        return None
+
+
+class BgzfWriter:
+    """Streaming BGZF writer that also records the .gzi block table.
+
+    ``write()`` accepts arbitrary bytes; blocks are cut at MAX_BLOCK_DATA.
+    ``close()`` appends the EOF marker.  ``write_gzi(path)`` dumps the index
+    in the layout the reference reader consumes (panagram/index.py:793-799):
+    an entry for the start of every block after the first, plus a final
+    entry at (end-of-data, total-uncompressed) mirroring htslib's
+    bgzf_index_dump behaviour.
+    """
+
+    def __init__(self, path_or_fileobj, level: int = 6):
+        if isinstance(path_or_fileobj, (str, os.PathLike)):
+            self._fh = open(path_or_fileobj, "wb")
+            self._own = True
+        else:
+            self._fh = path_or_fileobj
+            self._own = False
+        self.level = level
+        self._buf = bytearray()
+        self._coffset = 0  # compressed bytes written
+        self._uoffset = 0  # uncompressed bytes consumed
+        # block starts *after* block 0: list of (coffset, uoffset)
+        self._blocks: list[tuple[int, int]] = []
+        self._native = _try_native()
+        self._closed = False
+
+    def write(self, data) -> int:
+        self._buf += data
+        while len(self._buf) >= MAX_BLOCK_DATA:
+            self._flush_block(bytes(self._buf[:MAX_BLOCK_DATA]))
+            del self._buf[:MAX_BLOCK_DATA]
+        return len(data)
+
+    def _flush_block(self, data: bytes):
+        if self._native is not None:
+            block = self._native.compress_block(data, self.level)
+        else:
+            co = zlib.compressobj(self.level, zlib.DEFLATED, -15)
+            payload = co.compress(data) + co.flush()
+            bsize = len(payload) + 26
+            if bsize > 65536:
+                # incompressible data: store at level 0
+                co = zlib.compressobj(0, zlib.DEFLATED, -15)
+                payload = co.compress(data) + co.flush()
+                bsize = len(payload) + 26
+            block = (
+                _block_header(bsize)
+                + payload
+                + struct.pack("<II", zlib.crc32(data), len(data))
+            )
+        self._fh.write(block)
+        self._coffset += len(block)
+        self._uoffset += len(data)
+        self._blocks.append((self._coffset, self._uoffset))
+
+    def flush(self):
+        if self._buf:
+            self._flush_block(bytes(self._buf))
+            self._buf.clear()
+
+    @property
+    def block_table(self) -> list[tuple[int, int]]:
+        return list(self._blocks)
+
+    def write_gzi(self, path: str):
+        # Drop the final entry? htslib dumps noffs-1 entries skipping the
+        # implicit (0,0); the last recorded entry points at end-of-data which
+        # htslib also records (index entry added per flushed block).  The
+        # reference reader handles either; we keep all entries except when
+        # the file is empty.
+        entries = self._blocks
+        with open(path, "wb") as f:
+            f.write(struct.pack("<Q", len(entries)))
+            for c, u in entries:
+                f.write(struct.pack("<QQ", c, u))
+
+    def close(self):
+        if self._closed:
+            return
+        self.flush()
+        self._fh.write(EOF_MARKER)
+        self._closed = True
+        if self._own:
+            self._fh.close()
+        else:
+            self._fh.flush()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def load_gzi(path: str) -> np.ndarray:
+    """Load a .gzi index into the same structured array layout as the
+    reference's Genome.load_bgz_blocks (panagram/index.py:793-799):
+    a (nblocks+1)-entry array with an implicit leading (0, 0)."""
+    with open(path, "rb") as f:
+        (n,) = struct.unpack("<Q", f.read(8))
+        dtype = np.dtype([("rstart", "<u8"), ("dstart", "<u8")])
+        entries = np.fromfile(f, dtype, n)
+    blocks = np.zeros(int(n) + 1, dtype=dtype)
+    blocks[1:] = entries
+    return blocks.astype([("rstart", int), ("dstart", int)])
+
+
+class BgzfReader:
+    """Random-access BGZF reader.
+
+    Supports ``seek(virtual_offset)`` + ``read(n)`` like Bio.bgzf.BgzfReader
+    (the API the reference query path uses, panagram/index.py:837-838), plus
+    convenience ``read_at(uoffset, n)`` when a block table is available.
+    """
+
+    def __init__(self, path: str, gzi: str | None = None):
+        self._fh = open(path, "rb")
+        self._block_cache_start = -1
+        self._block_cache = b""
+        self._within = 0
+        self.blocks = load_gzi(gzi) if gzi else None
+
+    def _load_block(self, coffset: int) -> bytes:
+        if coffset == self._block_cache_start:
+            return self._block_cache
+        self._fh.seek(coffset)
+        header = self._fh.read(18)
+        if len(header) < 18:
+            self._block_cache_start = coffset
+            self._block_cache = b""
+            return b""
+        if header[0] != 0x1F or header[1] != 0x8B:
+            raise ValueError(f"bad BGZF magic at offset {coffset}")
+        xlen = struct.unpack("<H", header[10:12])[0]
+        extra = header[12:18]
+        # find BC subfield (may need more extra bytes)
+        extra += self._fh.read(xlen - 6) if xlen > 6 else b""
+        bsize = None
+        i = 0
+        while i + 4 <= len(extra):
+            si1, si2, slen = extra[i], extra[i + 1], struct.unpack("<H", extra[i + 2:i + 4])[0]
+            if si1 == 0x42 and si2 == 0x43 and slen == 2:
+                bsize = struct.unpack("<H", extra[i + 4:i + 6])[0] + 1
+                break
+            i += 4 + slen
+        if bsize is None:
+            raise ValueError("BGZF BC subfield missing")
+        payload_len = bsize - 12 - xlen - 8
+        payload = self._fh.read(payload_len)
+        data = zlib.decompress(payload, -15)
+        self._fh.read(8)  # crc + isize
+        self._block_cache_start = coffset
+        self._block_cache = data
+        self._next_coffset = coffset + bsize
+        return data
+
+    def seek(self, virtual_offset: int):
+        coffset, within = split_virtual_offset(virtual_offset)
+        self._load_block(coffset)
+        self._within = within
+        return virtual_offset
+
+    def read(self, size: int) -> bytes:
+        out = bytearray()
+        while len(out) < size:
+            data = self._block_cache
+            take = data[self._within : self._within + (size - len(out))]
+            out += take
+            self._within += len(take)
+            if len(out) < size:
+                nxt = getattr(self, "_next_coffset", None)
+                if nxt is None:
+                    break
+                data = self._load_block(nxt)
+                self._within = 0
+                if not data:  # EOF block
+                    break
+        return bytes(out)
+
+    def read_at(self, uoffset: int, size: int) -> bytes:
+        """Read ``size`` bytes starting at uncompressed offset ``uoffset``
+        using the .gzi table (mirrors the reference's offset arithmetic,
+        panagram/index.py:833-838)."""
+        if self.blocks is None:
+            raise ValueError("read_at requires a .gzi index")
+        blk = np.searchsorted(self.blocks["dstart"], uoffset, side="right") - 1
+        blk_offs = int(uoffset - self.blocks["dstart"][blk])
+        blk_start = int(self.blocks["rstart"][blk])
+        self.seek(make_virtual_offset(blk_start, blk_offs))
+        return self.read(size)
+
+    def read_all(self) -> bytes:
+        """Decompress the entire file (for tests / small files)."""
+        self._fh.seek(0)
+        out = bytearray()
+        coffset = 0
+        while True:
+            data = self._load_block(coffset)
+            if not data:
+                # empty block: EOF marker (or empty file)
+                break
+            out += data
+            coffset = self._next_coffset
+        return bytes(out)
+
+    def close(self):
+        self._fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def decompress_file(path: str) -> bytes:
+    with BgzfReader(path) as r:
+        return r.read_all()

@@ -1,0 +1,161 @@
+"""FASTA reading + .fai (faidx) indexing.
+
+Replaces the reference's use of pysam.FastaFile / Bio.SeqIO / `samtools
+faidx` (reference panagram/index.py:576-587,922-930; workflow/Snakefile
+rule faidx) with a dependency-free implementation producing the standard
+5-column .fai format: name, length, offset, linebases, linewidth.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import numpy as np
+
+
+def _open_text(path):
+    if str(path).endswith((".gz", ".bgz")):
+        return gzip.open(path, "rt")
+    return open(path, "r")
+
+
+def iter_fasta(path):
+    """Yield (name, sequence) tuples.  Name is the first whitespace-delimited
+    token of the header line, matching the reference (cpp/anchor.cpp:84-85)."""
+    name = None
+    chunks: list[str] = []
+    with _open_text(path) as fh:
+        for line in fh:
+            line = line.rstrip()
+            if not line:
+                continue
+            if line[0] == ">":
+                if name is not None:
+                    yield name, "".join(chunks)
+                name = line[1:].split()[0] if len(line) > 1 else ""
+                chunks = []
+            else:
+                chunks.append(line)
+    if name is not None:
+        yield name, "".join(chunks)
+
+
+def write_fai(path, out_path=None):
+    """Build a samtools-compatible .fai for an uncompressed FASTA."""
+    if out_path is None:
+        out_path = str(path) + ".fai"
+    entries = []
+    with open(path, "rb") as fh:
+        name = None
+        length = 0
+        offset = 0
+        linebases = 0
+        linewidth = 0
+        first_line = True
+        pos = 0
+        for raw in fh:
+            line = raw.rstrip(b"\r\n")
+            if raw.startswith(b">"):
+                if name is not None:
+                    entries.append((name, length, offset, linebases, linewidth))
+                name = raw[1:].split()[0].decode() if len(raw) > 1 else ""
+                length = 0
+                offset = pos + len(raw)
+                first_line = True
+            elif name is not None and line:
+                if first_line:
+                    linebases = len(line)
+                    linewidth = len(raw)
+                    first_line = False
+                length += len(line)
+            pos += len(raw)
+        if name is not None:
+            entries.append((name, length, offset, linebases, linewidth))
+    with open(out_path, "w") as out:
+        for e in entries:
+            out.write("\t".join(str(x) for x in e) + "\n")
+    return out_path
+
+
+class FastaFile:
+    """Random-access FASTA via .fai (subset of pysam.FastaFile's API used by
+    the reference: references, get_reference_length, fetch)."""
+
+    def __init__(self, path):
+        self.path = path
+        fai = str(path) + ".fai"
+        if not os.path.exists(fai):
+            if str(path).endswith((".gz", ".bgz")):
+                # no bgzf-fai support: load everything into memory
+                self._seqs = dict(iter_fasta(path))
+                self._index = {
+                    n: (len(s), None, None, None) for n, s in self._seqs.items()
+                }
+                self._fh = None
+                return
+            write_fai(path, fai)
+        self._seqs = None
+        self._index = {}
+        with open(fai) as f:
+            for line in f:
+                name, length, offset, linebases, linewidth = line.split("\t")[:5]
+                self._index[name] = (
+                    int(length),
+                    int(offset),
+                    int(linebases),
+                    int(linewidth),
+                )
+        self._fh = open(path, "rb")
+
+    @property
+    def references(self):
+        return list(self._index.keys())
+
+    def get_reference_length(self, name):
+        return self._index[name][0]
+
+    def fetch(self, name, start=None, end=None):
+        length, offset, linebases, linewidth = self._index[name]
+        if start is None:
+            start = 0
+        if end is None or end > length:
+            end = length
+        if self._seqs is not None:
+            return self._seqs[name][start:end]
+        line0 = start // linebases
+        byte_start = offset + line0 * linewidth + (start - line0 * linebases)
+        line1 = (end - 1) // linebases if end > start else line0
+        byte_end = offset + line1 * linewidth + ((end - 1) - line1 * linebases) + 1
+        self._fh.seek(byte_start)
+        raw = self._fh.read(byte_end - byte_start)
+        return raw.replace(b"\n", b"").replace(b"\r", b"").decode()
+
+    def close(self):
+        if self._fh is not None:
+            self._fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+# 2-bit base codes matching KMC's encoding (A=0 C=1 G=2 T=3), with 4 marking
+# any non-ACGT character (reference cpp/util.hpp base table).
+_CODE_LUT = np.full(256, 4, dtype=np.uint8)
+for i, b in enumerate(b"ACGT"):
+    _CODE_LUT[b] = i
+    _CODE_LUT[b + 32] = i  # lowercase
+
+
+def seq_to_codes(seq) -> np.ndarray:
+    """Encode an ASCII sequence into uint8 codes (A=0,C=1,G=2,T=3, other=4)."""
+    if isinstance(seq, str):
+        arr = np.frombuffer(seq.encode("ascii"), dtype=np.uint8)
+    elif isinstance(seq, (bytes, bytearray)):
+        arr = np.frombuffer(bytes(seq), dtype=np.uint8)
+    else:
+        arr = np.asarray(seq, dtype=np.uint8)
+    return _CODE_LUT[arr]

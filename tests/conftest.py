@@ -1,0 +1,29 @@
+"""Test configuration: force an 8-device virtual CPU mesh so multi-chip
+sharding paths are exercised without TPU hardware (SURVEY §4 implication c:
+the 'fake backend' the reference lacks)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(42)
+
+
+def random_seq(rng, n, n_frac=0.0):
+    bases = np.array(list("ACGT"))
+    seq = rng.choice(bases, size=n)
+    if n_frac > 0:
+        mask = rng.random(n) < n_frac
+        seq[mask] = "N"
+    return "".join(seq)

@@ -1,0 +1,82 @@
+import os
+
+import numpy as np
+import pytest
+
+from panagram_tpu.io.bgzf import (
+    BgzfReader,
+    BgzfWriter,
+    decompress_file,
+    load_gzi,
+    make_virtual_offset,
+)
+from panagram_tpu.io.fasta import FastaFile, iter_fasta, seq_to_codes, write_fai
+
+
+def test_bgzf_roundtrip(tmp_path, rng):
+    data = rng.integers(0, 256, size=1_000_000, dtype=np.uint8).tobytes()
+    gz = tmp_path / "x.gz"
+    gzi = tmp_path / "x.gzi"
+    with BgzfWriter(gz) as w:
+        # write in odd-sized pieces to exercise block cutting
+        for i in range(0, len(data), 37_777):
+            w.write(data[i : i + 37_777])
+    w.write_gzi(gzi)
+
+    assert decompress_file(str(gz)) == data
+
+    blocks = load_gzi(str(gzi))
+    assert blocks["rstart"][0] == 0 and blocks["dstart"][0] == 0
+    assert np.all(np.diff(blocks["dstart"]) > 0)
+
+    r = BgzfReader(str(gz), str(gzi))
+    for off, ln in [(0, 10), (12345, 100), (65280 - 3, 10), (999_990, 10)]:
+        assert r.read_at(off, ln) == data[off : off + ln]
+    r.close()
+
+
+def test_bgzf_gzip_compatible(tmp_path):
+    import gzip
+
+    gz = tmp_path / "y.gz"
+    payload = b"hello bgzf world" * 1000
+    with BgzfWriter(gz) as w:
+        w.write(payload)
+    # BGZF is valid multi-member gzip
+    with gzip.open(gz, "rb") as f:
+        assert f.read() == payload
+
+
+def test_bgzf_reader_virtual_offset(tmp_path):
+    gz = tmp_path / "z.gz"
+    data = bytes(range(256)) * 1000
+    with BgzfWriter(gz) as w:
+        w.write(data)
+        blocks = w.block_table
+    r = BgzfReader(str(gz))
+    # seek to start of block 1
+    c1 = blocks[0][0]
+    u1 = blocks[0][1]
+    r.seek(make_virtual_offset(c1, 5))
+    assert r.read(10) == data[u1 + 5 : u1 + 15]
+
+
+def test_fasta_iter_and_fai(tmp_path):
+    fa = tmp_path / "g.fa"
+    fa.write_text(">chr1 description here\nACGTACGTAC\nGTACGT\n>chr2\nNNACGT\n")
+    recs = list(iter_fasta(fa))
+    assert recs == [("chr1", "ACGTACGTACGTACGT"), ("chr2", "NNACGT")]
+
+    write_fai(fa)
+    f = FastaFile(fa)
+    assert f.references == ["chr1", "chr2"]
+    assert f.get_reference_length("chr1") == 16
+    assert f.fetch("chr1", 2, 12) == "GTACGTACGT"
+    assert f.fetch("chr2") == "NNACGT"
+    assert f.fetch("chr1", 9, 16) == "CGTACGT"
+    f.close()
+
+
+def test_seq_to_codes():
+    codes = seq_to_codes("ACGTacgtNX-")
+    assert list(codes) == [0, 1, 2, 3, 0, 1, 2, 3, 4, 4, 4]

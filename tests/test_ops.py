@@ -1,0 +1,142 @@
+import numpy as np
+import pytest
+
+from panagram_tpu.io.fasta import seq_to_codes
+from panagram_tpu.ops import (
+    anchor_lookup,
+    build_dictionary,
+    canonical_kmers,
+    distinct_kmers,
+    distinct_kmers_chunked,
+    genome_column_sums,
+    mask_popcount,
+    masks_to_bytes,
+    occupancy_histogram,
+)
+from panagram_tpu.ops.ref_impl import (
+    anchor_np,
+    build_dict_np,
+    canonical_kmers_np,
+    genome_kmer_set,
+    masks_to_bytes_np,
+    popcount_np,
+)
+from tests.conftest import random_seq
+
+
+def brute_canonical(seq, k):
+    """Character-level oracle for the oracle."""
+    comp = str.maketrans("ACGT", "TGCA")
+    out = []
+    valid = []
+    for i in range(len(seq) - k + 1):
+        w = seq[i : i + k].upper()
+        if any(c not in "ACGT" for c in w):
+            out.append(0)
+            valid.append(False)
+            continue
+        rc = w.translate(comp)[::-1]
+        canon = min(w, rc)  # A<C<G<T lexicographic == 2-bit numeric order
+        v = 0
+        for c in canon:
+            v = (v << 2) | "ACGT".index(c)
+        out.append(v)
+        valid.append(True)
+    return np.array(out, np.uint64), np.array(valid, bool)
+
+
+@pytest.mark.parametrize("k", [3, 21, 31])
+def test_canonical_matches_brute(rng, k):
+    seq = random_seq(rng, 300, n_frac=0.05)
+    want, wantv = brute_canonical(seq, k)
+    got_np, gotv_np = canonical_kmers_np(seq, k)
+    assert np.array_equal(want, got_np)
+    assert np.array_equal(wantv, gotv_np)
+
+    got, gotv = canonical_kmers(seq_to_codes(seq), k)
+    assert np.array_equal(want, got)
+    assert np.array_equal(wantv, gotv)
+
+
+def test_canonical_palindrome():
+    # revcomp(ACGT) == ACGT: canonical == forward
+    got, valid = canonical_kmers(seq_to_codes("ACGT"), 4)
+    want, _ = canonical_kmers_np("ACGT", 4)
+    assert np.array_equal(got, want)
+    assert valid.all()
+
+
+@pytest.mark.parametrize("k", [5, 21])
+def test_distinct_kmers(rng, k):
+    seq = random_seq(rng, 2000, n_frac=0.02)
+    want = genome_kmer_set([seq], k)
+    got = distinct_kmers(seq_to_codes(seq), k)
+    assert np.array_equal(want, got)
+    got_chunked = distinct_kmers_chunked([seq_to_codes(seq)], k, chunk=257)
+    assert np.array_equal(want, got_chunked)
+
+
+@pytest.mark.parametrize("ngenomes", [2, 6, 40])
+def test_dictionary_and_anchor(rng, ngenomes):
+    k = 11
+    seqs = [random_seq(rng, 800, n_frac=0.01) for _ in range(ngenomes)]
+    sets = [genome_kmer_set([s], k) for s in seqs]
+    want_keys, want_masks = build_dict_np(sets)
+
+    d = build_dictionary(sets, k)
+    assert np.array_equal(d.keys, want_keys)
+    assert np.array_equal(d.masks, want_masks)
+    assert d.nwords == (ngenomes + 31) // 32
+
+    # anchor genome 0 against the dictionary
+    want_rows = anchor_np(seqs[0], k, want_keys, want_masks)
+    canon, _ = canonical_kmers(seq_to_codes(seqs[0]), k)
+    # device path uses SENTINEL for invalid; rebuild via pack_kmers
+    from panagram_tpu.ops.codec import pack_kmers
+    import jax.numpy as jnp
+
+    canon_dev, _ = pack_kmers(jnp.asarray(seq_to_codes(seqs[0])), k)
+    rows = np.asarray(anchor_lookup(canon_dev, jnp.asarray(d.keys), jnp.asarray(d.masks)))
+    assert np.array_equal(rows, want_rows)
+
+    # popcount + bytes
+    nbytes = (ngenomes + 7) // 8
+    assert np.array_equal(np.asarray(mask_popcount(rows)), popcount_np(want_rows))
+    got_bytes = np.asarray(masks_to_bytes(rows))[:, :nbytes]
+    assert np.array_equal(got_bytes, masks_to_bytes_np(want_rows, nbytes))
+
+    # per-genome column sums == bit g totals
+    colsums = np.asarray(genome_column_sums(rows, ngenomes))
+    bits = np.unpackbits(want_rows.astype("<u4").view(np.uint8),
+                         axis=1, bitorder="little")[:, :ngenomes]
+    assert np.array_equal(colsums, bits.sum(axis=0))
+
+    # anchor genome 0 contains all its own kmers: bit 0 set wherever valid
+    _, valid = canonical_kmers_np(seqs[0], k)
+    assert np.array_equal(bits[:, 0].astype(bool), valid)
+
+
+def test_occupancy_histogram(rng):
+    ngenomes = 6
+    popc = rng.integers(0, ngenomes + 1, size=1000).astype(np.int32)
+    binlen = 128
+    nbins = -(-1000 // binlen)
+    pad = np.full(nbins * binlen, -1, np.int32)
+    pad[:1000] = popc
+    got = np.asarray(occupancy_histogram(pad, binlen, nbins, ngenomes))
+    for b in range(nbins):
+        seg = popc[b * binlen : (b + 1) * binlen]
+        want = np.bincount(seg, minlength=ngenomes + 1)
+        assert np.array_equal(got[b], want)
+
+
+def test_pairwise_shared(rng):
+    k = 9
+    seqs = [random_seq(rng, 500) for _ in range(5)]
+    sets = [genome_kmer_set([s], k) for s in seqs]
+    d = build_dictionary(sets, k)
+    got = d.pairwise_shared(block=97)
+    for i in range(5):
+        for j in range(5):
+            want = len(np.intersect1d(sets[i], sets[j]))
+            assert got[i, j] == want
