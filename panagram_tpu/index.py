@@ -1,9 +1,859 @@
-"""Index: the on-disk pan-kmer index, write + read API.
+"""The pan-kmer index: write + read API over the reference-compatible
+on-disk format (SURVEY §2.3; reference panagram/index.py).
 
-Placeholder — full implementation lands with the index layer.
+Write path: the TPU engine (panagram_tpu.ops) replaces KMC + cpp/anchor.cpp —
+per-genome distinct canonical k-mer sets are counted on device, merged into
+a presence-mask dictionary, and each anchor genome is streamed through a
+lookup + popcount pipeline.  Outputs are byte-identical in decompressed
+content to the reference's:
+
+  anchor/<name>/bitmap.{1,100}.gz + .gzi   (reference index.py:539-543)
+  anchor/<name>/chrs.tsv                   (size = L - k + 1, index.py:576-590)
+  anchor/<name>/bitsum.bins.tsv            (index.py:1169-1183, anchor.cpp:179-189)
+  anchor/<name>/total_paircounts.csv       (index.py:1068-1074)
+  anchor/<name>/{gene,anno}.bed.gz + .csi  (index.py:785-791)
+  anchor/<name>/bitsum.genes.tsv           (index.py:1079-1082)
+
+Read path: mirrors the reference query API (Index.query_bitmap,
+Genome.query, query_genes, query_anno, bitmap_to_bins, ...; reference
+index.py:297-465,804-920) so downstream consumers (viewer, introgression
+caller, analysis scripts) are drop-in.
 """
 
+from __future__ import annotations
 
-class Index:  # pragma: no cover - replaced in the index-layer milestone
-    def __init__(self, *a, **kw):
-        raise NotImplementedError("Index layer under construction")
+import logging
+import os
+import re
+from collections import defaultdict
+
+import numpy as np
+import pandas as pd
+
+from .config import IndexConfig, config_path, samples_path
+from .io.bgzf import BgzfReader, BgzfWriter, load_gzi, make_virtual_offset
+from .io.fasta import FastaFile, iter_fasta, seq_to_codes
+from .io.gff import split_gff
+from .io.tabix import TabixFile, write_tabix
+
+logger = logging.getLogger(__name__)
+
+NAME_REGEX = "[A-Za-z0-9_-]+"
+ANCHOR_DIR = "anchor"
+BGZ_SUFFIX = "gz"
+IDX_SUFFIX = "gzi"
+TABIX_COLS = ["chr", "start", "end", "type", "name"]
+TABIX_TYPES = {"start": int, "end": int}
+GENE_COLS = ["chr", "start", "end", "name"]
+
+# positions per device chunk in the anchoring stream (k-1 halo added)
+ANCHOR_CHUNK = 1 << 20
+
+
+def init_logger(logfile=None):
+    logging.basicConfig(
+        filename=logfile,
+        level=logging.INFO,
+        format="[%(asctime)s %(levelname)s] %(message)s",
+        datefmt="%Y-%m-%d %H:%M:%S",
+    )
+
+
+class Index:
+    """Read/write handle on an index directory.
+
+    Index(dir)                    -> read mode
+    Index(samples_tsv, prefix=..) -> write mode (initializes config)
+    """
+
+    def __init__(self, input, mode=None, prefix=None, **params):
+        self.conf = IndexConfig()
+        if mode is None:
+            write_mode = os.path.isfile(input)
+        else:
+            write_mode = mode == "w"
+        self.write_mode = write_mode
+
+        if write_mode:
+            if os.path.isdir(input):
+                self.prefix = input
+                if not (os.path.isfile(config_path(input))
+                        and os.path.isfile(samples_path(input))):
+                    raise ValueError("Index write directory not initialized")
+                self.load_config()
+            elif os.path.isfile(input):
+                self.prefix = prefix if prefix else (os.path.dirname(input) or ".")
+                for key, val in params.items():
+                    setattr(self.conf, key, val)
+                self.init_config(input)
+            else:
+                raise ValueError("Index input must be sample TSV or initialized directory")
+        else:
+            if not os.path.isdir(input):
+                raise ValueError("Index input must be directory in mode='r'")
+            self.prefix = input
+            self.load_config()
+
+        self.samples = pd.read_csv(samples_path(self.prefix), sep="\t").set_index("name")
+        self.ngenomes = len(self.samples)
+
+        self.genomes = {}
+        for name, row in self.samples.iterrows():
+            self.genomes[name] = Genome(
+                self, row["id"], name,
+                row.get("fasta"), row.get("gff"), row.get("anchor"),
+                write=self.write_mode,
+            )
+
+        self.chrs = None
+        if not self.write_mode:
+            self._init_read()
+
+    # ---------------- configuration ----------------
+
+    def init_config(self, samples_tsv):
+        samples = pd.read_csv(samples_tsv, sep="\t")
+        if "name" not in samples.columns or "fasta" not in samples.columns:
+            raise ValueError("Input samples must contain 'name' and 'fasta' column headers")
+        if "gff" not in samples:
+            samples["gff"] = pd.NA
+
+        invalid = ~samples["name"].str.fullmatch(NAME_REGEX)
+        if np.any(invalid):
+            bad = "', '".join(samples["name"][invalid])
+            raise ValueError(f"Invalid genome names: '{bad}'\nMust match r'{NAME_REGEX}'.")
+
+        # resolve fasta/gff paths relative to the samples.tsv location
+        src_dir = os.path.dirname(os.path.abspath(samples_tsv))
+
+        def _resolve(p):
+            if pd.isna(p) or os.path.isabs(str(p)):
+                return p
+            return os.path.relpath(os.path.join(src_dir, str(p)), self.prefix)
+
+        samples["fasta"] = samples["fasta"].map(_resolve)
+        samples["gff"] = samples["gff"].map(_resolve)
+
+        samples = samples[["name", "fasta", "gff"]].set_index("name").dropna(how="all")
+        samples["id"] = np.arange(len(samples), dtype=int)
+
+        if self.conf.anchor_genomes is None:
+            self.conf.anchor_genomes = list(samples["fasta"].dropna().index)
+        samples["anchor"] = samples.index.isin(self.conf.anchor_genomes)
+
+        os.makedirs(self.prefix, exist_ok=True)
+        samples.to_csv(samples_path(self.prefix), sep="\t")
+        self.conf.input = os.path.basename(samples_tsv)
+        self.write_config()
+
+    def write_config(self):
+        self.conf.save(config_path(self.prefix))
+
+    def load_config(self):
+        self.conf = IndexConfig.load(config_path(self.prefix))
+
+    # config passthroughs used across the codebase + by viewer/intros
+    @property
+    def k(self):
+        return self.conf.k
+
+    @property
+    def lowres_step(self):
+        return self.conf.lowres_step
+
+    @property
+    def anchor_genomes(self):
+        return self.conf.anchor_genomes or []
+
+    @property
+    def steps(self):
+        return self.conf.steps
+
+    @property
+    def params(self):
+        d = self.conf.to_dict(exclude=())
+        d["prefix"] = self.prefix
+        return d
+
+    @property
+    def genome_names(self):
+        return self.samples.index
+
+    @property
+    def bitsum_index(self):
+        return pd.RangeIndex(0, self.ngenomes + 1)
+
+    @property
+    def genome_dist_fname(self):
+        return os.path.join(self.prefix, "genome_dist.tsv")
+
+    def get_subdir(self, name):
+        return os.path.join(self.prefix, name)
+
+    @property
+    def kmer_dir(self):
+        """Per-genome k-mer set + dictionary cache (role of reference kmc/)."""
+        return self.get_subdir("kmc")
+
+    def kmer_set_fname(self, name):
+        return os.path.join(self.kmer_dir, f"{name}.kmers.npz")
+
+    @property
+    def dict_fname(self):
+        return os.path.join(self.kmer_dir, "pandict.npz")
+
+    # ---------------- read-mode aggregation (reference index.py:297-342) ----
+
+    def _init_read(self):
+        anchors = [g for g in self.anchor_genomes if self.genomes[g].chrs is not None]
+
+        self.chrs = pd.concat(
+            {g: self.genomes[g].chrs for g in anchors}, names=["genome", "chr"]
+        )
+        self.bitsum_bins = pd.concat(
+            {g: self.genomes[g].bitsum_bins for g in anchors},
+            names=["genome", "chr", "start"],
+        ).sort_index()
+        self.bitsum_chrs = pd.concat(
+            {g: self.genomes[g].bitsum_chrs for g in anchors}, axis=0
+        )
+        self.bitfreq_chrs = pd.concat(
+            {g: self.genomes[g].bitfreq_chrs for g in anchors}, axis=0
+        )
+        self.bitsum_totals = pd.concat(
+            {g: self.genomes[g].bitsum_total for g in anchors}, axis=1
+        ).T
+        self.bitfreq_totals = self.bitsum_totals.divide(self.bitsum_totals.sum(axis=1), axis=0)
+
+        n = np.array(self.bitfreq_totals.columns)
+        self.bitsum_totals_avg = (self.bitfreq_totals * n).sum(axis=1).sort_values()
+        self.bitsum_chrs_avg = (self.bitfreq_chrs * n).sum(axis=1).sort_values()
+
+        g = self.chrs["size"].groupby("genome")
+        self.genome_sizes = pd.DataFrame({"length": g.sum(), "chr_count": g.count()})
+
+    # ---------------- query API ----------------
+
+    def __getitem__(self, genome):
+        return self.genomes[genome]
+
+    def query_bitmap(self, genome, chrom, start=None, end=None, step=1):
+        return self.genomes[genome].query(chrom, start, end, step)
+
+    def query_genes(self, genome, chrom=None, start=None, end=None):
+        return self.genomes[genome].query_genes(chrom, start, end)
+
+    def query_anno(self, genome, chrom, start, end):
+        return self.genomes[genome].query_anno(chrom, start, end)
+
+    def bitsum_count(self, occs):
+        ret = np.zeros(self.ngenomes, "uint32")
+        occs, counts = np.unique(occs, return_counts=True)
+        ret[occs - 1] = counts
+        return ret
+
+    # bin transforms (reference index.py:438-465)
+    def bitmap_to_bins(self, bitmap, binlen):
+        df = bitmap.set_index(bitmap.index // binlen)
+
+        pancounts = df.sum(axis=1).reset_index().value_counts()
+        pancount_bins = pancounts.unstack(level=1, fill_value=0).T
+        pancount_bins = pancount_bins.reindex(self.bitsum_index, fill_value=0)
+
+        paircount_bins = df.groupby(level=0).sum()
+        paircount_bins = paircount_bins.set_index(paircount_bins.index * binlen).T
+        paircount_bins = paircount_bins.div(paircount_bins.max(axis=0), axis=1)
+        return pancount_bins, paircount_bins
+
+    def bitmap_to_pancount(self, bitmap):
+        return pd.Series(bitmap.to_numpy().sum(axis=1), index=bitmap.index)
+
+    def bitmap_to_paircount_bins(self, bitmap, binlen):
+        df = bitmap.set_index(bitmap.index // binlen)
+        paircount_bins = df.groupby(level=0).sum()
+        paircount_bins = paircount_bins.set_index(paircount_bins.index * binlen).T
+        paircount_bins = paircount_bins.div(paircount_bins.max(axis=0), axis=1)
+        return paircount_bins
+
+    def pancount_to_bins(self, pancnts, binlen):
+        bin_counts = pd.DataFrame(
+            {"count": pancnts.to_numpy(), "bin": pancnts.index // binlen}
+        ).value_counts(sort=False)
+        return bin_counts.unstack(level=1, fill_value=0).reindex(self.bitsum_index, fill_value=0)
+
+    def close(self):
+        for b in self.genomes.values():
+            b.close()
+
+
+class Genome:
+    """One genome of the index; anchored genomes own an anchor/<name>/ dir."""
+
+    def __init__(self, idx, id, name, fasta=None, gff=None, anchor=None, write=False):
+        self.index = idx
+        self.id = id
+        self.name = name
+        self.fasta = fasta if not pd.isna(fasta) else None
+        self.gff = gff if (gff is not None and not pd.isna(gff)) else None
+        self.write_mode = write
+        self.anchored = bool(anchor) if anchor is not None and not pd.isna(anchor) \
+            else (self.fasta is not None)
+        self.annotated = self.gff is not None
+
+        self.prefix = os.path.join(idx.prefix, ANCHOR_DIR, name)
+        self.genome_names = idx.genome_names
+        self.ngenomes = idx.ngenomes
+        self.nbytes = int(np.ceil(self.ngenomes / 8))
+        self.bitmaps = None
+        self.chrs = None
+        self.steps = list(idx.steps)
+
+        if not self.anchored:
+            return
+
+        self.bitmap_lens = defaultdict(int)
+
+        if os.path.exists(self.chrs_fname):
+            self.load_chrs()
+        elif self.fasta is not None and os.path.exists(self._fasta_path):
+            self.init_chrs()
+        else:
+            self.chrs = None
+
+        if not self.write_mode and self.chrs is not None \
+                and os.path.exists(self.bitmap_gz_fname(1)):
+            self.init_read()
+        elif not self.write_mode:
+            self.chrs = None
+
+    # ---------------- paths ----------------
+
+    @property
+    def _fasta_path(self):
+        if self.fasta is None:
+            return None
+        if os.path.isabs(self.fasta):
+            return self.fasta
+        return os.path.join(self.index.prefix, self.fasta)
+
+    @property
+    def _gff_path(self):
+        if self.gff is None:
+            return None
+        if os.path.isabs(self.gff):
+            return self.gff
+        return os.path.join(self.index.prefix, self.gff)
+
+    @property
+    def chrs_fname(self):
+        return os.path.join(self.prefix, "chrs.tsv")
+
+    @property
+    def bins_fname(self):
+        return os.path.join(self.prefix, "bitsum.bins.tsv")
+
+    @property
+    def chr_genes_fname(self):
+        return os.path.join(self.prefix, "bitsum.genes.tsv")
+
+    @property
+    def anno_types_fname(self):
+        return os.path.join(self.prefix, "anno_types.txt")
+
+    def bitmap_gz_fname(self, step):
+        return os.path.join(self.prefix, f"bitmap.{step}.{BGZ_SUFFIX}")
+
+    def bitmap_gzi_fname(self, step):
+        return os.path.join(self.prefix, f"bitmap.{step}.{IDX_SUFFIX}")
+
+    def tabix_fname(self, typ):
+        return os.path.join(self.prefix, f"{typ}.bed.gz")
+
+    def tabix_idx_fname(self, typ):
+        return self.tabix_fname(typ) + ".csi"
+
+    @property
+    def chrom_umaps_filename(self):
+        return os.path.join(self.prefix, "chrom_umaps.csv")
+
+    @property
+    def genome_umap_filename(self):
+        return os.path.join(self.prefix, "genome_umap.csv")
+
+    @property
+    def anchor_filenames(self):
+        if not self.anchored:
+            return []
+        ret = [self.chrs_fname, self.bins_fname]
+        for s in self.steps:
+            ret += [self.bitmap_gz_fname(s), self.bitmap_gzi_fname(s)]
+        if self.annotated:
+            ret.append(self.chr_genes_fname)
+            for t in ["gene", "anno"]:
+                ret += [self.tabix_fname(t), self.tabix_idx_fname(t)]
+        return ret
+
+    # ---------------- chrs table (reference index.py:576-604) ----------------
+
+    @property
+    def bitsum_index(self):
+        return pd.RangeIndex(0, self.ngenomes + 1)
+
+    @property
+    def gene_tabix_cols(self):
+        return GENE_COLS + [1, self.ngenomes]
+
+    @property
+    def gene_tabix_types(self):
+        r = {"start": int, "end": int}
+        for i in [1, self.ngenomes]:
+            r[i] = int
+        return r
+
+    @property
+    def chr_count(self):
+        return len(self.chrs)
+
+    def init_chrs(self):
+        fa = FastaFile(self._fasta_path)
+        k = self.index.k
+        chrs = pd.DataFrame(
+            [
+                (i, name, fa.get_reference_length(name) - k + 1)
+                for i, name in enumerate(fa.references)
+            ],
+            columns=["id", "name", "size"],
+        ).set_index("name")
+        fa.close()
+        self.set_chrs(chrs)
+        return chrs
+
+    def write_chrs(self):
+        self.chrs.to_csv(self.chrs_fname, sep="\t")
+
+    def load_chrs(self):
+        self.set_chrs(pd.read_csv(self.chrs_fname, sep="\t", index_col="name"))
+
+    def set_chrs(self, chrs):
+        self.chrs = chrs
+        if "gene_count" not in self.chrs.columns:
+            self.chrs["gene_count"] = 0
+        self.sizes = chrs["size"]
+        step_sizes = pd.DataFrame(
+            {step: np.ceil(self.sizes / step) for step in self.steps}, dtype=int
+        )
+        self.offsets = step_sizes.cumsum().shift(fill_value=0)
+
+    def seq_len(self, seq_name):
+        return self.sizes.loc[seq_name]
+
+    # ---------------- read mode (reference index.py:615-658) ----------------
+
+    def init_read(self):
+        self.blocks = {s: load_gzi(self.bitmap_gzi_fname(s)) for s in self.steps}
+        self.bitmaps = {
+            s: BgzfReader(self.bitmap_gz_fname(s)) for s in self.steps
+        }
+
+        self.bitsum_bins = self._read_bitsum_bins()
+        self.bitsum_chrs = self.bitsum_bins.groupby("chr").sum()
+        self.bitsum_total = self.bitsum_bins.sum()
+
+        sum2freq = lambda df: df.divide(df.sum(axis=1), axis=0)
+        self.bitfreq_bins = sum2freq(self.bitsum_bins)
+        self.bitfreq_chrs = sum2freq(self.bitsum_chrs)
+
+        self.gene_tabix = self._load_tabix("gene")
+        self.anno_tabix = self._load_tabix("anno")
+        self.annotated = self.gene_tabix is not None or self.anno_tabix is not None
+
+        self._init_anno_types()
+
+        if self.annotated and os.path.exists(self.chr_genes_fname):
+            self.bitsum_genes = pd.read_csv(
+                self.chr_genes_fname, sep="\t"
+            ).set_index("chr")
+            self.bitsum_genes.columns = self.bitsum_genes.columns.astype(int)
+            self.bitfreq_genes = sum2freq(self.bitsum_genes)
+        else:
+            self.bitfreq_genes = self.bitsum_genes = pd.DataFrame(
+                0, index=self.chrs.index, columns=self.gene_tabix_cols
+            )
+
+        tp = os.path.join(self.prefix, "total_paircounts.csv")
+        self.total_paircounts = (
+            pd.read_csv(tp, index_col="name") if os.path.exists(tp) else None
+        )
+
+        self.load_umaps()
+
+    def _init_anno_types(self):
+        if os.path.exists(self.anno_types_fname):
+            with open(self.anno_types_fname) as f:
+                anno_types = [l.strip() for l in f if l.strip()]
+            if "exon" in anno_types:
+                if anno_types[0] != "exon":
+                    anno_types = ["exon"] + [a for a in anno_types if a != "exon"]
+                id0 = 0
+            else:
+                id0 = 1
+            self.gff_anno_types = set(anno_types)
+            self.anno_type_ids = pd.Series({a: id0 + i for i, a in enumerate(anno_types)})
+        else:
+            self.gff_anno_types = None
+            self.anno_type_ids = None
+
+    def _load_tabix(self, typ):
+        fname = self.tabix_fname(typ)
+        if not os.path.exists(fname):
+            return None
+        return TabixFile(fname, self.tabix_idx_fname(typ))
+
+    def _read_bitsum_bins(self):
+        df = pd.read_csv(self.bins_fname, sep="\t")
+        df["chr"] = self.chrs.index[df["chr"]]
+        df.set_index(["chr", "start"], inplace=True)
+        df.columns = df.columns.astype(int)
+        return df
+
+    def load_umaps(self):
+        if os.path.exists(self.chrom_umaps_filename):
+            self.chrom_umaps = pd.read_csv(self.chrom_umaps_filename, index_col="chrom")
+        else:
+            self.chrom_umaps = None
+        if os.path.exists(self.genome_umap_filename):
+            self.genome_umap = pd.read_csv(self.genome_umap_filename)
+        else:
+            self.genome_umap = None
+
+    # ---------------- the universal read primitive (index.py:804-845) --------
+
+    def query(self, name, start=None, end=None, step=1):
+        bstep = 1
+        for s in self.steps:
+            if step % s == 0:
+                bstep = max(bstep, s)
+
+        if start is None:
+            start = 0
+        if end is None:
+            end = self.seq_len(name)
+
+        pac = self._query_bytes(name, start, end - 1, step, bstep)
+        bits = self._bytes_to_bits(pac)
+        idx = pd.RangeIndex(start, end, step)
+        return pd.DataFrame(bits[: len(idx)], index=idx, columns=self.genome_names)
+
+    def _bytes_to_bits(self, pac):
+        return np.unpackbits(pac, bitorder="little", axis=1)[:, : self.ngenomes]
+
+    def _query_bytes(self, name, start, end, step, bstep):
+        byte_start = self.nbytes * (self.offsets.loc[name, bstep] + (start // bstep))
+        length = int((end - start) // bstep) + 1
+
+        step = step // bstep
+
+        blocks = self.blocks[bstep]
+        blk = np.searchsorted(blocks["dstart"], byte_start, side="right") - 1
+        blk_offs = int(byte_start - blocks["dstart"][blk])
+        blk_start = int(blocks["rstart"][blk])
+
+        self.bitmaps[bstep].seek(make_virtual_offset(blk_start, blk_offs))
+        buf = self.bitmaps[bstep].read(length * self.nbytes)
+
+        pac = np.frombuffer(buf, "uint8").reshape((len(buf) // self.nbytes, self.nbytes))
+        return pac[::step] if step > 1 else pac
+
+    def query_genes(self, chrom=None, start=None, end=None):
+        if self.gene_tabix is None:
+            rows = []
+        else:
+            try:
+                rows = list(self.gene_tabix.fetch(chrom, start, end))
+            except ValueError:
+                rows = []
+        return pd.DataFrame(rows, columns=self.gene_tabix_cols).astype(self.gene_tabix_types)
+
+    def query_anno(self, chrom, start, end):
+        if self.anno_tabix is None:
+            return pd.DataFrame(columns=TABIX_COLS)
+        try:
+            rows = list(self.anno_tabix.fetch(chrom, start, end))
+        except ValueError:
+            rows = []
+        df = pd.DataFrame(rows, columns=TABIX_COLS).astype(TABIX_TYPES)
+        if self.anno_type_ids is not None and len(df):
+            df["type_id"] = self.anno_type_ids.reindex(df["type"]).to_numpy()
+        else:
+            df["type_id"] = pd.Series(dtype=float)
+        return df
+
+    def iter_fasta(self):
+        yield from iter_fasta(self._fasta_path)
+
+    # ---------------- write mode: anchoring ----------------
+
+    def _init_gff(self):
+        """Parse GFF into gene table (+ occupancy columns) and write the
+        annotation tabix (reference index.py:720-783)."""
+        conf = self.index.conf
+        genes, annos = split_gff(
+            self._gff_path,
+            gene_types=conf.gff_gene_types,
+            anno_types=conf.gff_anno_types,
+            name_attr=conf.gff_name,
+        )
+
+        write_tabix(
+            annos[TABIX_COLS].itertuples(index=False),
+            self.tabix_fname("anno"),
+            self.tabix_idx_fname("anno"),
+        )
+
+        if conf.gff_anno_types is None:
+            self.gff_anno_types = set(annos["type"].unique())
+        else:
+            self.gff_anno_types = set(conf.gff_anno_types).intersection(annos["type"])
+        with open(self.anno_types_fname, "w") as f:
+            for t in self.gff_anno_types:
+                f.write(f"{t}\n")
+
+        for i in self.bitsum_index:
+            genes[i] = 0
+        return genes.set_index(["chr", "start", "end"]).sort_index()
+
+    def bin_bitsum_binlen(self, nkmers):
+        """Bin length rule shared by both reference builders
+        (index.py:1169-1173 == anchor.cpp:114-118)."""
+        binlen = self.index.conf.max_bin_kbp * 1000
+        if nkmers / binlen < self.index.conf.min_bin_count:
+            binlen = nkmers // self.index.conf.min_bin_count
+        return max(int(binlen), 1)
+
+    def run_anchor(self, pan_dict=None, logfile=None):
+        """Anchor this genome against the pan-kmer dictionary.
+
+        The streamed per-chunk pipeline replaces cpp/anchor.cpp:112-195:
+        2-bit encode -> canonical pack -> dictionary gather -> byte-pack /
+        popcount / histograms, all device-side per chunk.
+        """
+        if logfile:
+            init_logger(logfile)
+        if not self.anchored:
+            logger.info(f"Skipping non-anchor genome '{self.name}'")
+            return
+
+        import jax.numpy as jnp
+
+        from .ops.anchor import anchor_chunk, genome_column_sums, masks_to_bytes
+        from .ops.dictionary import PanKmerDict
+
+        if pan_dict is None:
+            pan_dict = PanKmerDict.load(self.index.dict_fname)
+
+        os.makedirs(self.prefix, exist_ok=True)
+        k = self.index.k
+        N = self.ngenomes
+        nbytes = self.nbytes
+        lowres = self.index.lowres_step
+
+        keys_d = jnp.asarray(pan_dict.keys)
+        masks_d = jnp.asarray(pan_dict.masks)
+
+        if self.chrs is None:
+            self.init_chrs()
+
+        if self.annotated:
+            gene_df = self._init_gff()
+            chr_genes = gene_df.index.get_level_values(0).value_counts()
+            logger.info("Annotation pre-processed")
+        else:
+            gene_df = None
+            chr_genes = pd.Series([0])
+        self.chrs["gene_count"] = chr_genes.reindex(self.chrs.index, fill_value=0)
+
+        writers = {s: BgzfWriter(self.bitmap_gz_fname(s)) for s in self.steps}
+        bin_rows = []  # (chr_id, start, counts[0..N])
+        paircount_sums = np.zeros(N, np.int64)
+
+        logger.info("Anchoring Started")
+
+        chunk = ANCHOR_CHUNK
+        buf = np.empty(chunk + k - 1, np.uint8)
+
+        for chrom_i, (chrom, seq) in enumerate(self.iter_fasta()):
+            codes = seq_to_codes(seq)
+            nkmers = len(codes) - k + 1
+            if nkmers <= 0:
+                logger.warning(f"Skipping short sequence {chrom}")
+                continue
+            binlen = self.bin_bitsum_binlen(nkmers)
+            nbins = -(-nkmers // binlen)
+            hist = np.zeros((nbins, N + 1), np.int64)
+            popc_full = np.empty(nkmers, np.int16) if self.annotated else None
+
+            for start in range(0, nkmers, chunk):
+                m = min(chunk, nkmers - start)
+                buf[:] = 255
+                buf[: m + k - 1] = codes[start : start + m + k - 1]
+                rows, popc = anchor_chunk(jnp.asarray(buf), keys_d, masks_d, k)
+                by = np.asarray(masks_to_bytes(rows))[:m, :nbytes]
+                popc_np = np.asarray(popc)[:m]
+
+                writers[1].write(by.tobytes())
+                # global-phase lowres downsample (anchor.cpp:169-177)
+                first = (-start) % lowres
+                writers[lowres].write(by[first::lowres].tobytes())
+
+                # per-bin occupancy histogram contribution
+                bins = (start + np.arange(m)) // binlen
+                flat = np.bincount(
+                    bins * (N + 1) + popc_np, minlength=nbins * (N + 1)
+                )
+                hist += flat.reshape(nbins, N + 1)
+
+                paircount_sums += np.asarray(genome_column_sums(rows, N))
+                if popc_full is not None:
+                    popc_full[start : start + m] = popc_np
+
+                self.bitmap_lens[1] += m
+
+            for b in range(nbins):
+                bin_rows.append((chrom_i, b * binlen, hist[b]))
+
+            logger.info(f"Anchored {chrom}")
+
+            if self.annotated and chrom in chr_genes.index:
+                for _, gstart, gend in gene_df.loc[[chrom]].index:
+                    # reference uses GFF coords directly as bitsum slices
+                    # (index.py:1056-1063), including its bounds checks
+                    if gend <= gstart or gstart < 0 or gend > nkmers:
+                        logger.warning(
+                            f"Skipping gene at {chrom}:{gstart}-{gend}, "
+                            "coordinates out-of-bounds"
+                        )
+                        continue
+                    occ = np.bincount(
+                        popc_full[gstart:gend], minlength=N + 1
+                    ).astype(np.int64)
+                    gene_df.loc[(chrom, gstart, gend), list(self.bitsum_index)] += occ
+                logger.info(f"Annotated {chrom}")
+
+        for w in writers.values():
+            w.close()
+        for s in self.steps:
+            writers[s].write_gzi(self.bitmap_gzi_fname(s))
+
+        # total_paircounts.csv (reference index.py:1068-1074)
+        tp = pd.DataFrame(
+            {
+                "count": pd.Series(paircount_sums, index=self.genome_names),
+                "frac": paircount_sums / paircount_sums[self.index.samples.index.get_loc(self.name)],
+            }
+        )
+        tp.index.name = "name"
+        self.total_paircounts = tp
+        tp.to_csv(os.path.join(self.prefix, "total_paircounts.csv"))
+
+        if self.annotated:
+            gene_tabix = gene_df.reset_index()[self.gene_tabix_cols]
+            write_tabix(
+                gene_tabix.itertuples(index=False),
+                self.tabix_fname("gene"),
+                self.tabix_idx_fname("gene"),
+            )
+            self.bitsum_genes = gene_df.groupby("chr", sort=False)[
+                list(self.bitsum_index)
+            ].sum()
+            self.bitsum_genes.to_csv(self.chr_genes_fname, sep="\t")
+
+        # bitsum.bins.tsv (reference index.py:1084-1085; anchor.cpp:57-63)
+        with open(self.bins_fname, "w") as f:
+            f.write("chr\tstart\t" + "\t".join(str(i) for i in range(N + 1)) + "\n")
+            for cid, start, counts in bin_rows:
+                f.write(f"{cid}\t{start}\t" + "\t".join(str(int(c)) for c in counts) + "\n")
+
+        self.write_chrs()
+
+        self.init_read()
+        try:
+            self.write_umaps()
+        except Exception as e:  # embeddings are ancillary (reference degrades too)
+            logger.warning(f"UMAP embedding failed: {e}")
+
+    def run_annotate(self, gff_file=None, logfile=None, nogene=False):
+        """(Re-)annotate from an existing bitmap (reference index.py:971-1010)."""
+        if logfile:
+            init_logger(logfile)
+        if gff_file is not None:
+            self.gff = gff_file
+        self.annotated = True
+
+        gene_df = self._init_gff()
+        if nogene:
+            return
+
+        for chrom in gene_df.index.unique("chr"):
+            if chrom not in self.sizes.index:
+                logger.warning(f"Skipping genes at {chrom}, chromosome not found")
+                continue
+            df = gene_df.loc[chrom]
+            st = int(df.index.get_level_values("start").min())
+            en = int(min(self.sizes[chrom], df.index.get_level_values("end").max()))
+
+            bitsum = self.query(chrom, st, en).sum(axis=1).to_numpy()
+
+            for start, end in df.index:
+                if end <= start or start < 0 or end - st > len(bitsum):
+                    logger.warning(
+                        f"Skipping gene at {chrom}:{start}-{end}, coordinates out-of-bounds"
+                    )
+                    continue
+                occ = np.bincount(bitsum[start - st : end - st], minlength=self.ngenomes + 1)
+                gene_df.loc[(chrom, start, end), list(self.bitsum_index)] += occ.astype(np.int64)
+
+        self.bitsum_genes = gene_df.groupby("chr", sort=False)[list(self.bitsum_index)].sum()
+        self.bitsum_genes.to_csv(self.chr_genes_fname, sep="\t")
+
+        gene_tabix = gene_df.reset_index()[self.gene_tabix_cols]
+        write_tabix(
+            gene_tabix.itertuples(index=False),
+            self.tabix_fname("gene"),
+            self.tabix_idx_fname("gene"),
+        )
+
+    # ---------------- embeddings (reference index.py:1099-1167) -------------
+
+    def write_umaps(self):
+        from .umap_embed import run_embedding
+
+        genome_paircounts = {}
+        chrom_umaps = []
+        for chrom in self.chrs.index:
+            bitmap = self.query(chrom, step=self.index.lowres_step)
+            paircounts = self.index.bitmap_to_paircount_bins(
+                bitmap, self.index.conf.chrom_umap.bin_size
+            ).T.fillna(0)
+            chrom_paircounts = pd.concat({chrom: paircounts}, names=["chrom", "start"])
+            chrom_umaps.append(
+                run_embedding(chrom_paircounts, self.index.conf.chrom_umap, self.name)
+            )
+            genome_paircounts[chrom] = self.index.bitmap_to_paircount_bins(
+                bitmap, self.index.conf.genome_umap.bin_size
+            ).T.fillna(0)
+
+        self.chrom_umaps = pd.concat(chrom_umaps).set_index("chrom")
+        self.chrom_umaps.to_csv(self.chrom_umaps_filename)
+
+        self.genome_umap = run_embedding(
+            pd.concat(genome_paircounts, names=["chrom", "start"]),
+            self.index.conf.genome_umap,
+            self.name,
+        )
+        self.genome_umap.to_csv(self.genome_umap_filename, index=False)
+
+    def close(self):
+        if self.bitmaps is not None:
+            for f in self.bitmaps.values():
+                f.close()
+            self.bitmaps = None

@@ -90,4 +90,4 @@ def masks_to_bytes_np(masks: np.ndarray, nbytes: int) -> np.ndarray:
 def popcount_np(masks: np.ndarray) -> np.ndarray:
     return np.unpackbits(
         masks.astype("<u4").view(np.uint8), axis=-1, bitorder="little"
-    ).sum(axis=-1)
+    ).sum(axis=-1).astype(np.int64)

@@ -1,0 +1,44 @@
+"""Device mesh helpers.
+
+The engine's distribution model (SURVEY §2.7, §5.8):
+
+* one logical mesh axis, ``shard``, over which BOTH the dictionary (by key
+  range — the tensor-parallel analogue of the reference's <=32-genome
+  bit-plane partitioning, reference index.py:391-426) AND anchor-sequence
+  positions (sequence parallelism — the chunk streaming of cpp/anchor.cpp
+  :112-147) are sharded;
+* queries are routed between the two shardings with an all_to_all by key
+  range; totals/histograms come back via psum.
+
+Multi-host runs initialize jax.distributed per host and use the same mesh
+over the global device list.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+DICT_AXIS = "shard"
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (DICT_AXIS,))
+
+
+def initialize_distributed(coordinator: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None):
+    """Multi-host bring-up (jax.distributed); no-op when single-process."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )

@@ -1,0 +1,184 @@
+"""Index-build driver: the explicit stage DAG replacing Snakemake.
+
+The reference orchestrates its build with Snakemake over external KMC/mash
+processes (reference workflow/Snakefile; SURVEY §2.7 P1).  Here the stages
+run in-process on the TPU engine, with the same file-based caching/resume
+property: a stage is skipped when its outputs exist and are newer than its
+inputs (SURVEY §5.3-5.4), and per-stage wall-clock telemetry is written to
+logs/*.benchmark.txt like Snakemake's `benchmark:` directives (SURVEY §5.1).
+
+Stage DAG (mirrors rules kmc_count -> opdefs/kmc_bitvec -> anchor plus
+mash_sample/mash_triangle):
+
+  count[g]   per-genome distinct canonical k-mer set  -> kmc/<g>.kmers.npz
+  dict       merged presence-mask dictionary          -> kmc/pandict.npz
+  anchor[g]  per-anchor bitmaps + summaries           -> anchor/<g>/*
+  dist       exact-Jaccard genome distances           -> genome_dist.tsv
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+
+import numpy as np
+
+from .distances import write_genome_dist
+from .index import Index, init_logger
+from .io.fasta import iter_fasta, seq_to_codes
+from .ops.count import distinct_kmers_chunked
+from .ops.dictionary import PanKmerDict, build_dictionary
+
+logger = logging.getLogger(__name__)
+
+FASTQ_EXTS = (".fastq", ".fastq.gz", ".fq", ".fq.gz")
+
+
+def _benchmark(prefix: str, name: str, t0: float):
+    os.makedirs(os.path.join(prefix, "logs"), exist_ok=True)
+    s = time.time() - t0
+    hms = time.strftime("%H:%M:%S", time.gmtime(s))
+    with open(os.path.join(prefix, "logs", f"{name}.benchmark.txt"), "w") as f:
+        f.write("s\th:m:s\n")
+        f.write(f"{s:.4f}\t{hms}\n")
+
+
+def _outputs_fresh(outputs, inputs) -> bool:
+    if not outputs or not all(os.path.exists(o) for o in outputs):
+        return False
+    out_mtime = min(os.path.getmtime(o) for o in outputs)
+    in_mtime = max(
+        (os.path.getmtime(i) for i in inputs if i and os.path.exists(i)), default=0
+    )
+    return out_mtime >= in_mtime
+
+
+def _iter_fastq(path):
+    import gzip
+
+    opn = gzip.open if str(path).endswith(".gz") else open
+    with opn(path, "rt") as f:
+        while True:
+            h = f.readline()
+            if not h:
+                break
+            seq = f.readline().strip()
+            f.readline()
+            f.readline()
+            if seq:
+                yield "read", seq
+
+
+def count_genome(index: Index, name: str, force=False) -> str:
+    """Stage count[g]: distinct canonical k-mers of one genome.
+
+    Role of `kmc -ci1 -fm` for FASTA and `-ci2 -fq` for FASTQ (reference
+    workflow/Snakefile:81-110): FASTQ k-mers must occur >= 2 times to drop
+    sequencing errors."""
+    out = index.kmer_set_fname(name)
+    g = index.genomes[name]
+    fasta = g._fasta_path
+    if not force and index.conf.kmc.use_existing and os.path.exists(out):
+        return out
+    if not force and _outputs_fresh([out], [fasta]):
+        return out
+
+    t0 = time.time()
+    os.makedirs(index.kmer_dir, exist_ok=True)
+    k = index.k
+
+    if str(fasta).endswith(FASTQ_EXTS):
+        kmers = _count_fastq(fasta, k)
+    else:
+        codes = (seq_to_codes(seq) for _, seq in iter_fasta(fasta))
+        kmers = distinct_kmers_chunked(codes, k)
+    np.savez(out, kmers=kmers, k=k)
+    _benchmark(index.prefix, f"kmc.{name}", t0)
+    logger.info(f"counted {name}: {len(kmers)} distinct {k}-mers")
+    return out
+
+
+def _count_fastq(path, k, min_count=2):
+    from .ops.codec import canonical_kmers
+
+    parts = []
+    for _, seq in _iter_fastq(path):
+        canon, valid = canonical_kmers(seq_to_codes(seq), k)
+        parts.append(canon[valid])
+    if not parts:
+        return np.zeros(0, np.uint64)
+    allk = np.concatenate(parts)
+    keys, counts = np.unique(allk, return_counts=True)
+    return keys[counts >= min_count]
+
+
+def build_dict_stage(index: Index, force=False) -> str:
+    out = index.dict_fname
+    set_files = [index.kmer_set_fname(n) for n in index.genome_names]
+    if not force and _outputs_fresh([out + ".npz" if not out.endswith(".npz") else out], set_files):
+        return out
+    t0 = time.time()
+    sets = []
+    for f in set_files:
+        z = np.load(f)
+        if int(z["k"]) != index.k:
+            raise ValueError(f"{f}: k={int(z['k'])} != index k={index.k}")
+        sets.append(z["kmers"])
+    d = build_dictionary(sets, index.k, ngenomes=index.ngenomes)
+    d.save(out)
+    _benchmark(index.prefix, "dict", t0)
+    logger.info(f"dictionary: {len(d)} keys x {d.nwords} words")
+    return out
+
+
+def anchor_stage(index: Index, name: str, pan_dict=None, force=False):
+    g = index.genomes[name]
+    outs = [g.chrs_fname, g.bins_fname] + [
+        g.bitmap_gz_fname(s) for s in index.steps
+    ]
+    ins = [index.dict_fname, g._fasta_path]
+    if not force and _outputs_fresh(outs, ins):
+        return
+    t0 = time.time()
+    if pan_dict is None:
+        pan_dict = PanKmerDict.load(index.dict_fname)
+    log = os.path.join(index.prefix, "logs", f"anchor.{name}.log.txt")
+    os.makedirs(os.path.dirname(log), exist_ok=True)
+    g.run_anchor(pan_dict, logfile=None)
+    _benchmark(index.prefix, f"anchor.{name}", t0)
+
+
+def dist_stage(index: Index, pan_dict=None, force=False) -> str:
+    out = index.genome_dist_fname
+    if not force and _outputs_fresh([out], [index.dict_fname]):
+        return out
+    t0 = time.time()
+    if pan_dict is None:
+        pan_dict = PanKmerDict.load(index.dict_fname)
+    write_genome_dist(pan_dict, list(index.genome_names), out)
+    _benchmark(index.prefix, "mash.triangle", t0)
+    return out
+
+
+def build_index(samples_or_dir: str, prefix=None, force=False, **params) -> Index:
+    """Run the full build DAG.  `samples_or_dir` is a samples.tsv (fresh
+    build) or an initialized index dir (resume)."""
+    index = Index(samples_or_dir, mode="w", prefix=prefix, **params)
+    logdir = os.path.join(index.prefix, "logs")
+    os.makedirs(logdir, exist_ok=True)
+    init_logger()
+
+    for name in index.genome_names:
+        if index.genomes[name].fasta is not None:
+            count_genome(index, name, force=force)
+
+    build_dict_stage(index, force=force)
+    pan_dict = PanKmerDict.load(index.dict_fname)
+
+    for name in index.anchor_genomes:
+        anchor_stage(index, name, pan_dict, force=force)
+
+    dist_stage(index, pan_dict, force=force)
+
+    return Index(index.prefix)

@@ -1,0 +1,294 @@
+"""Matplotlib figure builders for the browser.
+
+Server-side analogues of the reference's plot builders (reference
+view.py:1116-2087 and figs.py:28-214): conservation stacked bins, pairwise
+presence heatmaps, annotation tracks, genome dendrogram, composition bars,
+and embedding scatters, all driven by the Index read API.
+"""
+
+from __future__ import annotations
+
+import io
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+import numpy as np
+import pandas as pd
+from matplotlib import colors as mcolors
+from scipy.cluster import hierarchy
+from scipy.spatial.distance import squareform
+
+from ..distances import load_genome_dist
+
+
+def genome_colors(n, cmap="viridis_r"):
+    """Occupancy color scale (reference figs.py:11-25)."""
+    colormap = plt.get_cmap(cmap)
+    if n <= 1:
+        return [mcolors.rgb2hex(colormap(0.5))]
+    return [mcolors.rgb2hex(colormap(i / (n - 1))) for i in range(n)]
+
+
+def _render(fig) -> bytes:
+    buf = io.BytesIO()
+    fig.savefig(buf, format="png", dpi=110, bbox_inches="tight")
+    plt.close(fig)
+    return buf.getvalue()
+
+
+# ---------------- Pangenome tab ----------------
+
+def pangenome_composition(index) -> bytes:
+    """Stacked occupancy composition per anchor genome
+    (reference figs.read_pangenome_comp)."""
+    totals = index.bitfreq_totals
+    n = index.ngenomes
+    colors = genome_colors(n)
+    fig, ax = plt.subplots(figsize=(8, 0.6 + 0.45 * len(totals)))
+    left = np.zeros(len(totals))
+    for occ in range(1, n + 1):
+        vals = totals[occ].to_numpy() * 100
+        ax.barh(totals.index, vals, left=left, color=colors[occ - 1],
+                label=str(occ))
+        left += vals
+    ax.set_xlabel("% of anchored k-mer positions")
+    ax.set_title("Pan-genome k-mer occupancy composition")
+    ax.legend(title="occupancy", fontsize=7, bbox_to_anchor=(1.02, 1),
+              loc="upper left")
+    return _render(fig)
+
+
+def genome_dendrogram(index) -> bytes:
+    """Dendrogram + distance heatmap from genome_dist.tsv
+    (reference figs.make_all_genome_dend:50-167)."""
+    names = list(index.genome_names)
+    name_to_id = {n: index.genomes[n].id for n in names}
+    mat = load_genome_dist(index.genome_dist_fname, name_to_id)
+    fig, (ax1, ax2) = plt.subplots(
+        2, 1, figsize=(8, 8), height_ratios=[1, 3], constrained_layout=True
+    )
+    if len(names) > 2:
+        cond = squareform(mat, checks=False)
+        link = hierarchy.linkage(cond, method="average")
+        dn = hierarchy.dendrogram(link, labels=names, ax=ax1,
+                                  leaf_rotation=90, color_threshold=0)
+        order = dn["leaves"]
+    else:
+        order = list(range(len(names)))
+        ax1.axis("off")
+    m = mat[np.ix_(order, order)]
+    im = ax2.imshow(m, cmap="viridis_r")
+    ax2.set_xticks(range(len(names)), [names[i] for i in order], rotation=90)
+    ax2.set_yticks(range(len(names)), [names[i] for i in order])
+    fig.colorbar(im, ax=ax2, label="mash-style distance")
+    return _render(fig)
+
+
+def chromosome_histograms(index) -> bytes:
+    """Per-chromosome occupancy frequency bars for every anchor
+    (reference figs.read_genome_comp:28-47)."""
+    n = index.ngenomes
+    colors = genome_colors(n + 1)
+    rows = [(g, c) for g in index.anchor_genomes
+            for c in index.genomes[g].chrs.index]
+    rows = rows[: index.conf.max_view_chrs]
+    fig, axes = plt.subplots(
+        max(len(rows), 1), 1, figsize=(8, 1.1 * max(len(rows), 1) + 1),
+        squeeze=False, constrained_layout=True,
+    )
+    for ax, (g, c) in zip(axes[:, 0], rows):
+        freqs = index.genomes[g].bitfreq_chrs.loc[c]
+        perc = freqs.to_numpy() * 100
+        ax.bar(np.arange(len(perc)), perc,
+               color=[colors[min(i, n)] for i in range(len(perc))])
+        ax.set_yscale("log")
+        ax.set_ylabel(f"{g}\n{c}", fontsize=7, rotation=0, ha="right")
+        ax.tick_params(labelsize=6)
+    axes[-1, 0].set_xlabel("k-mer occupancy (0..N genomes)")
+    return _render(fig)
+
+
+def genome_sizes_plot(index) -> bytes:
+    fig, ax = plt.subplots(figsize=(7, 0.5 + 0.4 * len(index.genome_sizes)))
+    gs = index.genome_sizes
+    ax.barh(gs.index, gs["length"] / 1e6, color="#4878a8")
+    ax.set_xlabel("anchored length (Mbp)")
+    ax.set_title("Genome sizes")
+    return _render(fig)
+
+
+# ---------------- Anchor tab ----------------
+
+def whole_genome_plot(index, genome, max_bins=350) -> bytes:
+    """Per-chromosome occupancy bands across the genome
+    (reference view.plot_whole_genome:1851-1969)."""
+    g = index.genomes[genome]
+    n = index.ngenomes
+    colors = genome_colors(n + 1)
+    chrs = list(g.chrs.index)[: index.conf.max_view_chrs]
+    fig, axes = plt.subplots(
+        max(len(chrs), 1), 1,
+        figsize=(9, 0.9 * max(len(chrs), 1) + 1),
+        squeeze=False, constrained_layout=True,
+    )
+    maxsize = g.sizes.max()
+    for ax, chrom in zip(axes[:, 0], chrs):
+        bins = g.bitfreq_bins.loc[chrom]
+        x = bins.index.to_numpy()
+        bottom = np.zeros(len(bins))
+        for occ in range(n + 1):
+            h = bins[occ].to_numpy()
+            ax.bar(x, h, bottom=bottom, width=np.diff(x, append=x[-1] * 2 - (x[-2] if len(x) > 1 else 0)),
+                   color=colors[occ], align="edge", linewidth=0)
+            bottom += h
+        ax.set_xlim(0, maxsize)
+        ax.set_ylim(0, 1)
+        ax.set_ylabel(chrom, fontsize=7, rotation=0, ha="right")
+        ax.tick_params(labelsize=6)
+    axes[-1, 0].set_xlabel("position (bp)")
+    fig.suptitle(f"{genome}: occupancy composition per bin")
+    return _render(fig)
+
+
+def gene_content_plot(index, genome) -> bytes:
+    """Gene vs overall conservation (reference view.plot_gene_content)."""
+    g = index.genomes[genome]
+    n = index.ngenomes
+    fig, ax = plt.subplots(figsize=(7, 4))
+    x = np.arange(n + 1)
+    total = g.bitsum_bins.sum()
+    total = total / total.sum()
+    ax.plot(x, total.to_numpy(), "o-", label="all k-mers")
+    if g.bitsum_genes is not None and len(g.bitsum_genes):
+        try:
+            genes = g.bitsum_genes.sum()
+            genes = genes / max(genes.sum(), 1)
+            ax.plot(x, genes.reindex(range(n + 1), fill_value=0).to_numpy(),
+                    "s-", label="gene k-mers")
+        except Exception:
+            pass
+    ax.set_yscale("log")
+    ax.set_xlabel("occupancy")
+    ax.set_ylabel("fraction")
+    ax.legend()
+    ax.set_title(f"{genome}: gene vs genome-wide conservation")
+    return _render(fig)
+
+
+def umap_scatter(index, genome, chrom=None) -> bytes:
+    """Embedding scatter colored by cluster (reference
+    view.make_genome_umap:2202-2264)."""
+    g = index.genomes[genome]
+    df = g.chrom_umaps.loc[[chrom]].reset_index() if (
+        chrom and g.chrom_umaps is not None and chrom in g.chrom_umaps.index
+    ) else g.genome_umap
+    fig, ax = plt.subplots(figsize=(6, 5))
+    if df is None or not len(df):
+        ax.text(0.5, 0.5, "no embedding", ha="center")
+    else:
+        sc = ax.scatter(df["umap1"], df["umap2"], c=df["cluster"],
+                        s=8, cmap="tab10")
+        fig.colorbar(sc, ax=ax, label="cluster")
+    ax.set_xlabel("dim 1")
+    ax.set_ylabel("dim 2")
+    ax.set_title(f"{genome}{': ' + chrom if chrom else ''} bin embedding")
+    return _render(fig)
+
+
+# ---------------- Chromosome tab ----------------
+
+def chromosome_view(index, genome, chrom, start=None, end=None,
+                    max_bins=350) -> bytes:
+    """The main interactive figure (reference view.plot_interactive
+    :1116-1626): stacked occupancy bins + per-genome presence heatmap +
+    gene/annotation tracks for a region."""
+    g = index.genomes[genome]
+    size = int(g.seq_len(chrom))
+    start = 0 if start is None else max(0, int(start))
+    end = size if end is None else min(size, int(end))
+    if end <= start:
+        start, end = 0, size
+
+    span = end - start
+    # choose step: full res for small windows, lowres beyond
+    # (reference get_buffer heuristic view.py:2481-2487)
+    step = 1 if span <= max_bins * 100 else index.lowres_step
+    bitmap = index.query_bitmap(genome, chrom, start, end, step)
+    binlen = max(span // max_bins, step)
+    pancount, paircount = index.bitmap_to_bins(bitmap, binlen)
+
+    n = index.ngenomes
+    colors = genome_colors(n + 1)
+
+    fig, (ax1, ax2, ax3) = plt.subplots(
+        3, 1, figsize=(10, 8), height_ratios=[2, 2, 1],
+        sharex=True, constrained_layout=True,
+    )
+
+    # stacked occupancy counts per bin
+    xs = pancount.columns.to_numpy() * binlen
+    bottom = np.zeros(len(xs))
+    denom = pancount.sum(axis=0).to_numpy().astype(float)
+    denom[denom == 0] = 1
+    for occ in range(n + 1):
+        h = pancount.loc[occ].to_numpy() / denom
+        ax1.bar(xs, h, bottom=bottom, width=binlen, align="edge",
+                color=colors[occ], linewidth=0)
+        bottom += h
+    ax1.set_ylim(0, 1)
+    ax1.set_ylabel("occupancy fraction")
+    ax1.set_title(f"{genome} {chrom}:{start:,}-{end:,} (step {step})")
+
+    # per-genome presence heatmap
+    pc = paircount.to_numpy()
+    im = ax2.imshow(
+        pc, aspect="auto", interpolation="nearest", cmap="viridis",
+        extent=[xs[0] if len(xs) else start,
+                (xs[-1] + binlen) if len(xs) else end, n - 0.5, -0.5],
+    )
+    ax2.set_yticks(range(n), list(paircount.index), fontsize=7)
+    ax2.set_ylabel("genome")
+
+    # annotation tracks
+    genes = g.query_genes(chrom, start, end)
+    annos = g.query_anno(chrom, start, end)
+    y = 0
+    for _, r in genes.iterrows():
+        ax3.barh(y % 4, r["end"] - r["start"], left=r["start"], height=0.8,
+                 color="#2a6099")
+        ax3.text(r["start"], y % 4 + 0.45, str(r["name"]), fontsize=6)
+        y += 1
+    if len(annos):
+        for _, r in annos.iterrows():
+            ax3.barh(4 + (int(r.get("type_id", 0) or 0) % 3),
+                     r["end"] - r["start"], left=r["start"], height=0.6,
+                     color="#70ad47", alpha=0.6)
+    ax3.set_ylim(-0.5, 7.5)
+    ax3.set_yticks([1.5, 5], ["genes", "annotations"], fontsize=7)
+    ax3.set_xlabel("position (bp)")
+    ax3.set_xlim(start, end)
+    return _render(fig)
+
+
+def chr_whole_plot(index, genome, chrom) -> bytes:
+    """Whole-chromosome occupancy overview
+    (reference view.plot_chr_whole:1644-1849)."""
+    g = index.genomes[genome]
+    n = index.ngenomes
+    colors = genome_colors(n + 1)
+    bins = g.bitfreq_bins.loc[chrom]
+    fig, ax = plt.subplots(figsize=(10, 2.4))
+    x = bins.index.to_numpy()
+    width = np.diff(x, append=x[-1] + (x[1] - x[0] if len(x) > 1 else 1))
+    bottom = np.zeros(len(bins))
+    for occ in range(n + 1):
+        h = bins[occ].to_numpy()
+        ax.bar(x, h, bottom=bottom, width=width, align="edge",
+               color=colors[occ], linewidth=0)
+        bottom += h
+    ax.set_xlabel("position (bp)")
+    ax.set_ylabel("fraction")
+    ax.set_title(f"{genome} {chrom}: occupancy composition")
+    return _render(fig)

@@ -4,12 +4,20 @@ the 'fake backend' the reference lacks)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient environment may export JAX_PLATFORMS=axon (the TPU
+# tunnel, single-client) and a sitecustomize that registers the axon plugin;
+# clearing PALLAS_AXON_POOL_IPS prevents that registration in this process.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

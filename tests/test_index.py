@@ -1,0 +1,246 @@
+import gzip
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from panagram_tpu.index import Index
+from panagram_tpu.io.bgzf import decompress_file
+from panagram_tpu.ops.ref_impl import (
+    anchor_np,
+    build_dict_np,
+    genome_kmer_set,
+    masks_to_bytes_np,
+    popcount_np,
+)
+from panagram_tpu.pipeline import build_index
+from tests.conftest import random_seq
+
+K = 11
+NGENOMES = 3
+
+
+@pytest.fixture(scope="module")
+def pan(tmp_path_factory):
+    """Build a 3-genome, 2-chromosome index and the matching numpy oracle."""
+    rng = np.random.default_rng(1234)
+    tmp = tmp_path_factory.mktemp("pan")
+
+    base1 = random_seq(rng, 3000)
+    base2 = random_seq(rng, 1500)
+
+    def mutate(seq, n):
+        s = list(seq)
+        for i in rng.choice(len(s), n, replace=False):
+            s[i] = "ACGT"[rng.integers(4)]
+        return "".join(s)
+
+    genomes = {
+        "g1": {"chr1": base1, "chr2": base2},
+        "g2": {"chr1": mutate(base1, 60), "chr2": mutate(base2, 30)},
+        "g3": {"chr1": base1[:1400] + "NN" + mutate(base1[1400:], 40)},
+    }
+
+    fa_dir = tmp / "fastas"
+    fa_dir.mkdir()
+    for name, chrs in genomes.items():
+        with open(fa_dir / f"{name}.fa", "w") as f:
+            for c, seq in chrs.items():
+                f.write(f">{c} desc\n")
+                for i in range(0, len(seq), 60):
+                    f.write(seq[i : i + 60] + "\n")
+
+    # simple GFF for g1 (1-based closed coords; reference uses them as-is)
+    gff = fa_dir / "g1.gff"
+    gff.write_text(
+        "##gff-version 3\n"
+        "chr1\tsrc\tgene\t101\t400\t.\t+\t.\tID=gene1;Name=GeneA\n"
+        "chr1\tsrc\tmRNA\t101\t400\t.\t+\t.\tID=rna1;Parent=gene1\n"
+        "chr1\tsrc\texon\t101\t220\t.\t+\t.\tID=ex1;Parent=rna1\n"
+        "chr1\tsrc\texon\t300\t400\t.\t+\t.\tID=ex2;Parent=rna1\n"
+        "chr2\tsrc\tgene\t51\t900\t.\t-\t.\tID=gene2\n"
+        "chr2\tsrc\trepeat_region\t10\t40\t.\t+\t.\tID=rep1\n"
+    )
+
+    samples = tmp / "samples.tsv"
+    samples.write_text(
+        "name\tfasta\tgff\n"
+        f"g1\t{fa_dir}/g1.fa\t{gff}\n"
+        f"g2\t{fa_dir}/g2.fa\t\n"
+        f"g3\t{fa_dir}/g3.fa\t\n"
+    )
+
+    idx_dir = tmp / "index"
+    idx = build_index(str(samples), prefix=str(idx_dir), k=K)
+
+    sets = [genome_kmer_set(list(genomes[n].values()), K) for n in ["g1", "g2", "g3"]]
+    keys, masks = build_dict_np(sets)
+    return dict(idx=idx, idx_dir=idx_dir, genomes=genomes, keys=keys, masks=masks)
+
+
+def _oracle_bytes(pan, genome):
+    out = {1: [], 100: []}
+    per_chrom = {}
+    for chrom, seq in pan["genomes"][genome].items():
+        rows = anchor_np(seq, K, pan["keys"], pan["masks"])
+        by = masks_to_bytes_np(rows, (NGENOMES + 7) // 8)
+        out[1].append(by)
+        out[100].append(by[::100])
+        per_chrom[chrom] = rows
+    return (
+        np.concatenate(out[1]).tobytes(),
+        np.concatenate(out[100]).tobytes(),
+        per_chrom,
+    )
+
+
+@pytest.mark.parametrize("genome", ["g1", "g2", "g3"])
+def test_bitmap_bytes_match_oracle(pan, genome):
+    want1, want100, _ = _oracle_bytes(pan, genome)
+    adir = pan["idx_dir"] / "anchor" / genome
+    assert decompress_file(str(adir / "bitmap.1.gz")) == want1
+    assert decompress_file(str(adir / "bitmap.100.gz")) == want100
+
+
+def test_chrs_tsv(pan):
+    df = pd.read_csv(pan["idx_dir"] / "anchor" / "g1" / "chrs.tsv", sep="\t")
+    assert list(df.columns) == ["name", "id", "size", "gene_count"]
+    assert df.set_index("name").loc["chr1", "size"] == 3000 - K + 1
+    assert df.set_index("name").loc["chr2", "size"] == 1500 - K + 1
+    assert df.set_index("name").loc["chr1", "gene_count"] == 1
+    assert df.set_index("name").loc["chr2", "gene_count"] == 1
+
+
+def test_bitsum_bins(pan):
+    _, _, per_chrom = _oracle_bytes(pan, "g2")
+    df = pd.read_csv(pan["idx_dir"] / "anchor" / "g2" / "bitsum.bins.tsv", sep="\t")
+    assert list(df.columns)[:2] == ["chr", "start"]
+    for cid, (chrom, rows) in enumerate(per_chrom.items()):
+        popc = popcount_np(rows)
+        nk = len(popc)
+        binlen = nk // 100  # toy chroms: nkmers/200000 < 100
+        sub = df[df["chr"] == cid]
+        starts = list(sub["start"])
+        assert starts == list(range(0, nk, binlen))
+        for _, r in sub.iterrows():
+            seg = popc[int(r["start"]) : int(r["start"]) + binlen]
+            want = np.bincount(seg, minlength=NGENOMES + 1)
+            got = r.iloc[2:].to_numpy().astype(int)
+            assert np.array_equal(got, want)
+
+
+def test_total_paircounts(pan):
+    _, _, per_chrom = _oracle_bytes(pan, "g1")
+    allrows = np.concatenate(list(per_chrom.values()))
+    bits = np.unpackbits(allrows.astype("<u4").view(np.uint8), axis=1,
+                         bitorder="little")[:, :NGENOMES]
+    want = bits.sum(axis=0)
+    df = pd.read_csv(pan["idx_dir"] / "anchor" / "g1" / "total_paircounts.csv",
+                     index_col="name")
+    assert np.array_equal(df["count"].to_numpy(), want)
+    assert df["frac"]["g1"] == 1.0
+
+
+def test_query_bitmap(pan):
+    idx = pan["idx"]
+    _, _, per_chrom = _oracle_bytes(pan, "g1")
+    bits_all = np.unpackbits(
+        per_chrom["chr1"].astype("<u4").view(np.uint8), axis=1, bitorder="little"
+    )[:, :NGENOMES]
+
+    df = idx.query_bitmap("g1", "chr1", 100, 600)
+    assert list(df.columns) == ["g1", "g2", "g3"]
+    assert np.array_equal(df.to_numpy(), bits_all[100:600])
+
+    # lowres route: step=100 must use the bitmap.100 file
+    df100 = idx.query_bitmap("g1", "chr1", 0, 2900, 100)
+    assert np.array_equal(df100.to_numpy(), bits_all[0:2900:100])
+
+    # step=200 uses lowres with stride 2
+    df200 = idx.query_bitmap("g1", "chr1", 0, 2900, 200)
+    assert np.array_equal(df200.to_numpy(), bits_all[0:2900:200])
+
+    # second chromosome offsets
+    bits2 = np.unpackbits(
+        per_chrom["chr2"].astype("<u4").view(np.uint8), axis=1, bitorder="little"
+    )[:, :NGENOMES]
+    df2 = idx.query_bitmap("g1", "chr2", 7, 399)
+    assert np.array_equal(df2.to_numpy(), bits2[7:399])
+
+
+def test_query_genes_and_anno(pan):
+    idx = pan["idx"]
+    genes = idx.query_genes("g1", "chr1", 0, 3000)
+    assert len(genes) == 1
+    row = genes.iloc[0]
+    assert row["name"] == "GeneA"
+    assert row["start"] == 101 and row["end"] == 400
+
+    # gene occupancy columns match oracle popcounts over the span
+    _, _, per_chrom = _oracle_bytes(pan, "g1")
+    popc = popcount_np(per_chrom["chr1"])
+    hist = np.bincount(popc[101:400], minlength=NGENOMES + 1)
+    assert row[1] == hist[1]
+    assert row[NGENOMES] == hist[NGENOMES]
+
+    anno = idx.query_anno("g1", "chr1", 0, 3000)
+    assert set(anno["type"]) == {"exon", "mRNA"}
+    # exon names resolved through Parent chain to the gene
+    assert set(anno[anno["type"] == "exon"]["name"]) == {"GeneA"}
+
+    # gene2 has no Name attr -> falls back to ID
+    g2 = idx.query_genes("g1", "chr2", 0, 1500)
+    assert list(g2["name"]) == ["gene2"]
+
+
+def test_bitsum_genes(pan):
+    df = pd.read_csv(pan["idx_dir"] / "anchor" / "g1" / "bitsum.genes.tsv", sep="\t")
+    assert list(df["chr"]) == ["chr1", "chr2"]
+    _, _, per_chrom = _oracle_bytes(pan, "g1")
+    hist1 = np.bincount(popcount_np(per_chrom["chr1"])[101:400], minlength=NGENOMES + 1)
+    got = df.set_index("chr").loc["chr1"].to_numpy().astype(int)
+    assert np.array_equal(got, hist1)
+
+
+def test_genome_dist(pan):
+    path = pan["idx_dir"] / "genome_dist.tsv"
+    assert path.exists()
+    lines = [l.split("\t") for l in path.read_text().splitlines()]
+    assert len(lines) == 3  # 3 unordered pairs
+    for parts in lines:
+        assert len(parts) == 5
+        assert 0 <= float(parts[2]) <= 1
+
+
+def test_index_read_aggregates(pan):
+    idx = pan["idx"]
+    assert idx.ngenomes == 3
+    assert set(idx.anchor_genomes) == {"g1", "g2", "g3"}
+    assert idx.genome_sizes.loc["g1", "length"] == (3000 - K + 1) + (1500 - K + 1)
+    assert idx.genome_sizes.loc["g3", "chr_count"] == 1
+    assert (idx.bitsum_totals.sum(axis=1) > 0).all()
+    assert np.allclose(idx.bitfreq_totals.sum(axis=1), 1.0)
+
+
+def test_bitmap_to_bins(pan):
+    idx = pan["idx"]
+    bm = idx.query_bitmap("g1", "chr1", 0, 2000)
+    pancount, paircount = idx.bitmap_to_bins(bm, 500)
+    assert pancount.shape[0] == NGENOMES + 1
+    assert pancount.sum().sum() == 2000
+    assert paircount.shape == (NGENOMES, 4)
+
+
+def test_resume_skips_stages(pan):
+    """File-based caching: rebuilding is a no-op on fresh outputs."""
+    idx_dir = pan["idx_dir"]
+    m0 = os.path.getmtime(idx_dir / "anchor" / "g1" / "bitmap.1.gz")
+    build_index(str(idx_dir))
+    assert os.path.getmtime(idx_dir / "anchor" / "g1" / "bitmap.1.gz") == m0
+
+
+def test_umap_outputs(pan):
+    for f in ["chrom_umaps.csv", "genome_umap.csv"]:
+        df = pd.read_csv(pan["idx_dir"] / "anchor" / "g1" / f)
+        assert {"start", "end", "umap1", "umap2", "cluster"} <= set(df.columns)
