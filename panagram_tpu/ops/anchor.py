@@ -73,6 +73,179 @@ def occupancy_histogram(popc: jax.Array, binlen: int, nbins: int, ngenomes: int)
     return hist[:-1].reshape(nbins, ngenomes + 1)
 
 
+@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10))
+def anchor_chunk_fast(packed: jax.Array, nmask: jax.Array,
+                      table: jax.Array, table2: jax.Array,
+                      L: int, k: int, nbits: int, nbits2: int, cap: int,
+                      nwords: int, nbytes: int):
+    """Fused fast path: packed 2-bit codes -> bitmap bytes (device-sliced to
+    nbytes) + popcounts + per-genome totals, using the bucketed-hash lookup
+    (ops/lookup.py) instead of binary search.
+
+    Minimises host<->device traffic: input is 0.375 B/base, outputs are
+    nbytes/position + tiny reductions (SURVEY §7.4.5)."""
+    from .codec import unpack_bases
+    from .lookup import bucket_query
+
+    codes = unpack_bases(packed, nmask, L)
+    canon, _ = pack_kmers(codes, k)
+    rows = bucket_query(canon, table, table2, nbits, nbits2, cap, nwords)
+    popc = mask_popcount(rows)
+    by = masks_to_bytes(rows)[:, :nbytes]
+    sums = []
+    for g in range(32 * nwords):
+        w, bit = divmod(g, 32)
+        sums.append(jnp.sum(((rows[:, w] >> np.uint32(bit)) & 1).astype(jnp.int64)))
+    colsums = jnp.stack(sums)
+    return by, popc, colsums
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
+def anchor_chunk_rle(packed: jax.Array, nmask: jax.Array,
+                     table: jax.Array, table2: jax.Array,
+                     L: int, k: int, nbits: int, nbits2: int, cap: int,
+                     nwords: int, nbytes: int, capacity: int):
+    """Fast path with run-length-compacted output.
+
+    Consecutive anchor positions usually share their presence mask (runs
+    break only at variant boundaries), so instead of shipping nbytes per
+    position over a narrow host link, ship only the rows where the mask
+    CHANGES: (positions i32 [capacity], bytes u8 [capacity, nbytes],
+    popc i32 [capacity], stats i64 [32*nwords + 1] = per-genome column
+    sums with the change count in the last slot).  The host reconstructs
+    with np.repeat (rle_expand below).  If count > capacity the caller
+    falls back to anchor_chunk_fast.
+    """
+    from .codec import unpack_bases
+    from .lookup import bucket_query
+
+    codes = unpack_bases(packed, nmask, L)
+    canon, _ = pack_kmers(codes, k)
+    rows = bucket_query(canon, table, table2, nbits, nbits2, cap, nwords)
+    P = rows.shape[0]
+    popc = mask_popcount(rows)
+    by = masks_to_bytes(rows)[:, :nbytes]
+
+    change = jnp.concatenate([
+        jnp.ones(1, bool), jnp.any(rows[1:] != rows[:-1], axis=1)
+    ])
+    pos = jnp.cumsum(change.astype(jnp.int32)) - 1
+    count = pos[-1] + 1
+    slots = jnp.where(change & (pos < capacity), pos, capacity)
+
+    iota = jnp.arange(P, dtype=jnp.int32)
+    out_pos = jnp.zeros(capacity + 1, jnp.int32).at[slots].set(
+        iota, mode="drop", unique_indices=False)
+    out_bytes = jnp.zeros((capacity + 1, nbytes), jnp.uint8).at[slots].set(
+        by, mode="drop")
+    out_popc = jnp.zeros(capacity + 1, jnp.int32).at[slots].set(
+        popc, mode="drop")
+
+    sums = []
+    for g in range(32 * nwords):
+        w, bit = divmod(g, 32)
+        sums.append(jnp.sum(((rows[:, w] >> np.uint32(bit)) & 1).astype(jnp.int64)))
+    # stats = [colsums..., count] in ONE array: a single host transfer
+    stats = jnp.concatenate([jnp.stack(sums), count[None].astype(jnp.int64)])
+
+    return (out_pos[:capacity], out_bytes[:capacity], out_popc[:capacity],
+            stats)
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
+def anchor_chunk_rle2(inbuf: jax.Array, table: jax.Array, table2: jax.Array,
+                      L: int, k: int, nbits: int, nbits2: int, cap: int,
+                      nwords: int, nbytes: int, capacity: int):
+    """Transfer-optimal fast path: ONE u8 input buffer (packed bases ++
+    N-mask, from pack_bases_combined) and ONE u8 output buffer per chunk.
+
+    Output row i (i < count): [pos u32 LE | popc u16 LE | mask bytes].
+    Returns (combined u8 [capacity, 6 + nbytes], stats i64 [32*nwords + 1]).
+    Host side: unpack_rle2 / rle_expand reconstruct full-resolution rows.
+    """
+    from .codec import unpack_bases
+    from .lookup import bucket_query
+
+    n4 = (L + 3) // 4
+    packed = jax.lax.slice(inbuf, (0,), (n4,))
+    nmask = jax.lax.slice(inbuf, (n4,), (inbuf.shape[0],))
+    codes = unpack_bases(packed, nmask, L)
+    canon, _ = pack_kmers(codes, k)
+    rows = bucket_query(canon, table, table2, nbits, nbits2, cap, nwords)
+    P = rows.shape[0]
+    popc = mask_popcount(rows)
+    by = masks_to_bytes(rows)[:, :nbytes]
+
+    change = jnp.concatenate([
+        jnp.ones(1, bool), jnp.any(rows[1:] != rows[:-1], axis=1)
+    ])
+    pos = jnp.cumsum(change.astype(jnp.int32)) - 1
+    count = pos[-1] + 1
+    slots = jnp.where(change & (pos < capacity), pos, capacity)
+
+    iota = jnp.arange(P, dtype=jnp.uint32)
+    shifts = np.array([0, 8, 16, 24], np.uint32)
+    pos_bytes = ((iota[:, None] >> shifts[None, :]) & 0xFF).astype(jnp.uint8)
+    popc_bytes = jnp.stack(
+        [(popc & 0xFF).astype(jnp.uint8), ((popc >> 8) & 0xFF).astype(jnp.uint8)],
+        axis=1,
+    )
+    payload = jnp.concatenate([pos_bytes, popc_bytes, by], axis=1)
+    out = jnp.zeros((capacity + 1, 6 + nbytes), jnp.uint8).at[slots].set(
+        payload, mode="drop")
+
+    sums = []
+    for g in range(32 * nwords):
+        w, bit = divmod(g, 32)
+        sums.append(jnp.sum(((rows[:, w] >> np.uint32(bit)) & 1).astype(jnp.int64)))
+    stats = jnp.concatenate([jnp.stack(sums),
+                             count[None].astype(jnp.int64)])
+    return out[:capacity], stats
+
+
+def pack_bases_combined(codes: np.ndarray):
+    """Host-side single-buffer companion of pack_bases_np: returns
+    (inbuf u8 [ceil(L/4) + ceil(L/8)], L)."""
+    from .codec import pack_bases_np
+
+    packed, nmask, L = pack_bases_np(codes)
+    return np.concatenate([packed, nmask]), L
+
+
+def unpack_rle2(combined_host: np.ndarray, count: int, total: int,
+                nbytes: int):
+    """Host-side decode of anchor_chunk_rle2 output (already np.asarray'd
+    and sliced to >= count rows): returns (bytes [total, nbytes],
+    popc [total])."""
+    rowsc = combined_host[:count]
+    pos = rowsc[:, :4].copy().view("<u4").reshape(-1).astype(np.int64)
+    popc = rowsc[:, 4:6].copy().view("<u2").reshape(-1).astype(np.int32)
+    by = rowsc[:, 6:]
+    reps = np.diff(pos, append=total)
+    return np.repeat(by, reps, axis=0), np.repeat(popc, reps)
+
+
+def _pow2_slice(arr, count: int):
+    """Device-slice to the next power of two >= count: bounds the number of
+    distinct compiled slice programs to log2(capacity) instead of one per
+    observed count (device slicing by arbitrary python ints would trigger a
+    fresh XLA compile per shape)."""
+    n = arr.shape[0]
+    c = 1
+    while c < count:
+        c <<= 1
+    c = min(c, n)
+    return np.asarray(arr[:c])[:count]
+
+
+def rle_expand(positions: np.ndarray, values: np.ndarray, count: int,
+               total: int) -> np.ndarray:
+    """Host-side inverse of anchor_chunk_rle's compaction."""
+    positions = _pow2_slice(positions, count)
+    reps = np.diff(positions, append=total)
+    return np.repeat(_pow2_slice(values, count), reps, axis=0)
+
+
 @partial(jax.jit, static_argnums=(3,))
 def anchor_chunk(codes: jax.Array, keys: jax.Array, masks: jax.Array, k: int):
     """Fused anchor step over one (k-1)-halo'd sequence chunk:

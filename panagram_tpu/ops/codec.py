@@ -40,21 +40,68 @@ def pack_kmers(codes: jax.Array, k: int):
 
     Returns (canon: u64 [L-k+1], valid: bool [L-k+1]).  Invalid windows get
     canon == SENTINEL so they never match a dictionary key.
+
+    Implemented as a fori_loop of k shifted accumulations (not an unrolled
+    Python loop): the rolled form keeps the HLO small, which matters for
+    compile time on remote-compile TPU backends, while staying memory-bound
+    at runtime.
     """
     n = codes.shape[0] - k + 1
     c64 = codes.astype(jnp.uint64)
-    fwd = jnp.zeros(n, jnp.uint64)
-    rc = jnp.zeros(n, jnp.uint64)
-    valid = jnp.ones(n, bool)
     three = jnp.uint64(3)
-    for i in range(k):
-        ci = jax.lax.slice(c64, (i,), (i + n,))
-        fwd = fwd | ((ci & three) << np.uint64(2 * (k - 1 - i)))
-        rc = rc | (((three - ci) & three) << np.uint64(2 * i))
-        valid = valid & (jax.lax.slice(codes, (i,), (i + n,)) < 4)
+
+    def body(i, state):
+        fwd, rc, valid = state
+        ci = jax.lax.dynamic_slice(c64, (i,), (n,))
+        iu = i.astype(jnp.uint64)
+        fwd = fwd | ((ci & three) << (jnp.uint64(2 * (k - 1)) - 2 * iu))
+        rc = rc | (((three - ci) & three) << (2 * iu))
+        valid = valid & (ci < 4)
+        return fwd, rc, valid
+
+    # derive the carry inits from the input so their varying-axis type
+    # matches the body output under shard_map (zeros literals would be
+    # "unvarying" and fail the scan carry check)
+    fwd0 = jax.lax.slice(c64, (0,), (n,)) & jnp.uint64(0)
+    rc0 = fwd0
+    valid0 = fwd0 == 0
+    fwd, rc, valid = jax.lax.fori_loop(0, k, body, (fwd0, rc0, valid0))
     canon = jnp.minimum(fwd, rc)
     canon = jnp.where(valid, canon, SENTINEL)
     return canon, valid
+
+
+def pack_bases_np(codes: np.ndarray):
+    """Host-side 2-bit packing for cheap host->device transfer: returns
+    (packed u8 [ceil(L/4)] with 4 bases/byte little-endian, nmask u8
+    [ceil(L/8)] with bit i set when base i is non-ACGT, L).
+
+    The reference streams raw ASCII into KMC (1 B/base); through a narrow
+    host<->device link 2-bit packing is a 4x win (SURVEY §7.4.5 host IO)."""
+    codes = np.asarray(codes, np.uint8)
+    L = len(codes)
+    invalid = codes >= 4
+    c = np.where(invalid, 0, codes).astype(np.uint8)
+    pad = (-L) % 4
+    c4 = np.concatenate([c, np.zeros(pad, np.uint8)]).reshape(-1, 4)
+    packed = (c4[:, 0] | (c4[:, 1] << 2) | (c4[:, 2] << 4) | (c4[:, 3] << 6))
+    nmask = np.packbits(
+        np.concatenate([invalid, np.zeros((-L) % 8, bool)]), bitorder="little"
+    )
+    return packed.astype(np.uint8), nmask, L
+
+
+@partial(jax.jit, static_argnums=(2,))
+def unpack_bases(packed: jax.Array, nmask: jax.Array, L: int) -> jax.Array:
+    """Device-side unpack of pack_bases_np output -> u8 codes [L]
+    (0-3 valid, 255 invalid)."""
+    idx4 = jnp.arange(L) >> 2
+    sh = (jnp.arange(L) & 3).astype(jnp.uint8) * 2
+    codes = (jnp.take(packed, idx4) >> sh) & 3
+    idx8 = jnp.arange(L) >> 3
+    bit = (jnp.arange(L) & 7).astype(jnp.uint8)
+    bad = (jnp.take(nmask, idx8) >> bit) & 1
+    return jnp.where(bad == 1, jnp.uint8(255), codes.astype(jnp.uint8))
 
 
 def canonical_kmers(codes, k: int):

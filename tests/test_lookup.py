@@ -1,0 +1,191 @@
+import numpy as np
+import pytest
+
+from panagram_tpu.io.fasta import seq_to_codes
+from panagram_tpu.ops.codec import pack_bases_np, unpack_bases
+from panagram_tpu.ops.dictionary import build_dictionary
+from panagram_tpu.ops.lookup import BucketedDict, bucket_query, mix64, mix64_np
+from panagram_tpu.ops.ref_impl import (
+    anchor_np,
+    genome_kmer_set,
+    masks_to_bytes_np,
+    popcount_np,
+)
+from tests.conftest import random_seq
+
+K = 13
+
+
+def test_mix64_invertible_and_consistent(rng):
+    import jax.numpy as jnp
+
+    x = rng.integers(0, 1 << 62, 1000, dtype=np.uint64)
+    m_np = mix64_np(x)
+    m_dev = np.asarray(mix64(jnp.asarray(x)))
+    assert np.array_equal(m_np, m_dev)
+    assert len(np.unique(m_np)) == len(np.unique(x))
+    # high bits should be roughly uniform after mixing
+    top = (m_np >> np.uint64(60)).astype(int)
+    assert len(np.unique(top)) == 16
+
+
+def test_pack_unpack_bases(rng):
+    import jax.numpy as jnp
+
+    seq = random_seq(rng, 1003, n_frac=0.05)
+    codes = seq_to_codes(seq)
+    packed, nmask, L = pack_bases_np(codes)
+    out = np.asarray(unpack_bases(jnp.asarray(packed), jnp.asarray(nmask), L))
+    want = np.where(codes >= 4, 255, codes).astype(np.uint8)
+    assert np.array_equal(out, want)
+
+
+@pytest.mark.parametrize("ngenomes", [3, 40])
+def test_bucket_query_matches_oracle(rng, ngenomes):
+    import jax.numpy as jnp
+
+    from panagram_tpu.ops.codec import pack_kmers
+
+    seqs = [random_seq(rng, 900, n_frac=0.01) for _ in range(ngenomes)]
+    sets = [genome_kmer_set([s], K) for s in seqs]
+    d = build_dictionary(sets, K)
+    bd = BucketedDict.build(d.keys, d.masks, ngenomes, K)
+
+    seq = seqs[0]
+    want = anchor_np(seq, K, d.keys, d.masks)
+
+    canon, _ = pack_kmers(jnp.asarray(seq_to_codes(seq)), K)
+    t1, t2 = bd.device_arrays()
+    rows = np.asarray(bucket_query(canon, t1, t2, bd.nbits, bd.nbits2,
+                                   bd.cap, bd.nwords))
+    assert np.array_equal(rows, want)
+
+
+def test_bucket_overflow_level(rng):
+    """Force heavy bucket overflow by using a tiny table."""
+    keys = np.unique(rng.integers(0, 1 << 62, 5000, dtype=np.uint64))
+    masks = rng.integers(1, 1 << 31, (len(keys), 1)).astype(np.uint32)
+
+    import jax.numpy as jnp
+
+    old = BucketedDict.MEAN_LOAD
+    try:
+        BucketedDict.MEAN_LOAD = 30  # overloaded level 1 -> heavy overflow
+        bd = BucketedDict.build(keys, masks, 32, 21)
+    finally:
+        BucketedDict.MEAN_LOAD = old
+    t1, t2 = bd.device_arrays()
+    # query all stored keys plus some misses
+    miss = rng.integers(0, 1 << 62, 500, dtype=np.uint64)
+    miss = miss[~np.isin(miss, keys)]
+    q = np.concatenate([keys, miss])
+    rows = np.asarray(bucket_query(jnp.asarray(q), t1, t2, bd.nbits,
+                                   bd.nbits2, bd.cap, bd.nwords))
+    assert np.array_equal(rows[: len(keys), 0], masks[:, 0])
+    assert (rows[len(keys):] == 0).all()
+
+
+def test_anchor_chunk_fast(rng):
+    import jax.numpy as jnp
+
+    from panagram_tpu.ops.anchor import anchor_chunk_fast
+
+    ngenomes = 6
+    seqs = [random_seq(rng, 1500, n_frac=0.02) for _ in range(ngenomes)]
+    sets = [genome_kmer_set([s], K) for s in seqs]
+    d = build_dictionary(sets, K)
+    bd = BucketedDict.build(d.keys, d.masks, ngenomes, K)
+    t1, t2 = bd.device_arrays()
+
+    seq = seqs[1]
+    codes = seq_to_codes(seq)
+    packed, nmask, L = pack_bases_np(codes)
+    nbytes = (ngenomes + 7) // 8
+    by, popc, colsums = anchor_chunk_fast(
+        jnp.asarray(packed), jnp.asarray(nmask), t1, t2,
+        L, K, bd.nbits, bd.nbits2, bd.cap, bd.nwords, nbytes,
+    )
+    want_rows = anchor_np(seq, K, d.keys, d.masks)
+    assert np.array_equal(np.asarray(by), masks_to_bytes_np(want_rows, nbytes))
+    assert np.array_equal(np.asarray(popc), popcount_np(want_rows))
+    bits = np.unpackbits(want_rows.astype("<u4").view(np.uint8), axis=1,
+                         bitorder="little")
+    assert np.array_equal(np.asarray(colsums)[:ngenomes],
+                          bits[:, :ngenomes].sum(axis=0))
+
+
+def test_anchor_chunk_rle(rng):
+    import jax.numpy as jnp
+
+    from panagram_tpu.ops.anchor import anchor_chunk_fast, anchor_chunk_rle, rle_expand
+
+    ngenomes = 6
+    seqs = [random_seq(rng, 1500, n_frac=0.02) for _ in range(ngenomes)]
+    sets = [genome_kmer_set([s], K) for s in seqs]
+    d = build_dictionary(sets, K)
+    bd = BucketedDict.build(d.keys, d.masks, ngenomes, K)
+    t1, t2 = bd.device_arrays()
+    nbytes = (ngenomes + 7) // 8
+
+    seq = seqs[2]
+    codes = seq_to_codes(seq)
+    packed, nmask, L = pack_bases_np(codes)
+    P = L - K + 1
+    pos, byc, popcc, stats = anchor_chunk_rle(
+        jnp.asarray(packed), jnp.asarray(nmask), t1, t2,
+        L, K, bd.nbits, bd.nbits2, bd.cap, bd.nwords, nbytes, P,
+    )
+    count = int(stats[-1])
+    assert count <= P
+    by = rle_expand(pos, byc, count, P)
+    popc = rle_expand(pos, popcc, count, P)
+
+    want_rows = anchor_np(seq, K, d.keys, d.masks)
+    assert np.array_equal(by, masks_to_bytes_np(want_rows, nbytes))
+    assert np.array_equal(popc, popcount_np(want_rows))
+
+    # capacity overflow: tiny capacity -> count exceeds it, caller must
+    # detect and fall back
+    _, _, _, stats2 = anchor_chunk_rle(
+        jnp.asarray(packed), jnp.asarray(nmask), t1, t2,
+        L, K, bd.nbits, bd.nbits2, bd.cap, bd.nwords, nbytes, 4,
+    )
+    assert int(stats2[-1]) == count
+
+
+def test_anchor_chunk_rle2(rng):
+    import jax.numpy as jnp
+
+    from panagram_tpu.ops.anchor import (
+        anchor_chunk_rle2,
+        pack_bases_combined,
+        unpack_rle2,
+        _pow2_slice,
+    )
+
+    ngenomes = 9
+    seqs = [random_seq(rng, 1700, n_frac=0.02) for _ in range(ngenomes)]
+    sets = [genome_kmer_set([s], K) for s in seqs]
+    d = build_dictionary(sets, K)
+    bd = BucketedDict.build(d.keys, d.masks, ngenomes, K)
+    t1, t2 = bd.device_arrays()
+    nbytes = (ngenomes + 7) // 8
+
+    seq = seqs[0]
+    codes = seq_to_codes(seq)
+    inbuf, L = pack_bases_combined(codes)
+    P = L - K + 1
+    out, stats = anchor_chunk_rle2(
+        jnp.asarray(inbuf), t1, t2, L, K, bd.nbits, bd.nbits2, bd.cap,
+        bd.nwords, nbytes, P,
+    )
+    count = int(stats[-1])
+    by, popc = unpack_rle2(_pow2_slice(out, count), count, P, nbytes)
+
+    want_rows = anchor_np(seq, K, d.keys, d.masks)
+    assert np.array_equal(by, masks_to_bytes_np(want_rows, nbytes))
+    assert np.array_equal(popc, popcount_np(want_rows))
+    bits = np.unpackbits(want_rows.astype("<u4").view(np.uint8), axis=1,
+                         bitorder="little")
+    assert np.array_equal(np.asarray(stats)[:ngenomes],
+                          bits[:, :ngenomes].sum(axis=0))
