@@ -645,8 +645,15 @@ class Genome:
 
         import jax.numpy as jnp
 
-        from .ops.anchor import anchor_chunk, genome_column_sums, masks_to_bytes
+        from .ops.anchor import (
+            _pow2_slice,
+            anchor_chunk_fast,
+            anchor_chunk_rle2,
+            pack_bases_combined,
+            unpack_rle2,
+        )
         from .ops.dictionary import PanKmerDict
+        from .ops.lookup import BucketedDict
 
         if pan_dict is None:
             pan_dict = PanKmerDict.load(self.index.dict_fname)
@@ -657,8 +664,8 @@ class Genome:
         nbytes = self.nbytes
         lowres = self.index.lowres_step
 
-        keys_d = jnp.asarray(pan_dict.keys)
-        masks_d = jnp.asarray(pan_dict.masks)
+        bd = BucketedDict.build(pan_dict.keys, pan_dict.masks, N, k)
+        t1, t2 = bd.device_arrays()
 
         if self.chrs is None:
             self.init_chrs()
@@ -692,13 +699,34 @@ class Genome:
             hist = np.zeros((nbins, N + 1), np.int64)
             popc_full = np.empty(nkmers, np.int16) if self.annotated else None
 
+            capacity = chunk // 2
             for start in range(0, nkmers, chunk):
                 m = min(chunk, nkmers - start)
                 buf[:] = 255
                 buf[: m + k - 1] = codes[start : start + m + k - 1]
-                rows, popc = anchor_chunk(jnp.asarray(buf), keys_d, masks_d, k)
-                by = np.asarray(masks_to_bytes(rows))[:m, :nbytes]
-                popc_np = np.asarray(popc)[:m]
+                inbuf, L = pack_bases_combined(buf)
+                ib = jnp.asarray(inbuf)
+                combined, stats = anchor_chunk_rle2(
+                    ib, t1, t2, L, k, bd.nbits, bd.nbits2, bd.cap,
+                    bd.nwords, nbytes, capacity,
+                )
+                st = np.asarray(stats)
+                count = int(st[-1])
+                P = L - k + 1
+                if count > capacity:
+                    by_d, popc_d, _ = anchor_chunk_fast(
+                        jnp.asarray(inbuf[: (L + 3) // 4]),
+                        jnp.asarray(inbuf[(L + 3) // 4 :]),
+                        t1, t2, L, k, bd.nbits, bd.nbits2, bd.cap,
+                        bd.nwords, nbytes,
+                    )
+                    by = np.asarray(by_d)[:m]
+                    popc_np = np.asarray(popc_d)[:m].astype(np.int32)
+                else:
+                    by, popc_np = unpack_rle2(
+                        _pow2_slice(combined, count), count, P, nbytes)
+                    by = by[:m]
+                    popc_np = popc_np[:m]
 
                 writers[1].write(by.tobytes())
                 # global-phase lowres downsample (anchor.cpp:169-177)
@@ -712,7 +740,7 @@ class Genome:
                 )
                 hist += flat.reshape(nbins, N + 1)
 
-                paircount_sums += np.asarray(genome_column_sums(rows, N))
+                paircount_sums += st[:N]
                 if popc_full is not None:
                     popc_full[start : start + m] = popc_np
 
