@@ -29,6 +29,9 @@ def _add_index(sub):
     p.add_argument("-p", "--prepare", action="store_true",
                    help="write config.yaml/samples.tsv without building")
     p.add_argument("--force", action="store_true", help="ignore cached stage outputs")
+    p.add_argument("--device-dict", action="store_true",
+                   help="count + merge the dictionary entirely on device "
+                        "(no per-genome k-mer set files)")
     return p
 
 
@@ -52,7 +55,8 @@ def _run_index(args):
         print(f"Prepared index at {idx.prefix}. "
               f"Run 'panagram_tpu index {idx.prefix}' to build.")
     else:
-        idx = build_index(args.input, prefix=args.prefix, force=args.force, **params)
+        idx = build_index(args.input, prefix=args.prefix, force=args.force,
+                          device_dict=args.device_dict, **params)
         print(f"Index built at {idx.prefix}")
 
 

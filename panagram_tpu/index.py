@@ -664,7 +664,9 @@ class Genome:
         nbytes = self.nbytes
         lowres = self.index.lowres_step
 
-        bd = BucketedDict.build(pan_dict.keys, pan_dict.masks, N, k)
+        bd = BucketedDict.build(
+            pan_dict.keys, pan_dict.masks, N, k,
+            mixed=(getattr(pan_dict, "key_space", "canon") == "mixed"))
         t1, t2 = bd.device_arrays()
 
         if self.chrs is None:

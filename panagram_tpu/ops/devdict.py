@@ -1,0 +1,157 @@
+"""Device-resident pan-kmer dictionary builder.
+
+The file-cached pipeline (pipeline.py) materialises each genome's distinct
+k-mer set on the host (good resume granularity, but the set transfer
+dominates on narrow host links).  This builder keeps EVERYTHING on device:
+sequence chunks stream in 2-bit packed, each chunk's canonical k-mers are
+sorted/deduped on device and merged straight into the growing (keys, masks)
+dictionary with the genome's presence bit — nothing but tiny counters
+leaves HBM until the final dictionary is saved.
+
+Keys live in splitmix64-mixed space (ops/lookup.mix64), so the finished
+arrays feed BucketedDict.build(mixed=True) without re-sorting and bucket
+boundaries are uniform.  Merge = concat + lax.sort with mask-word payloads
++ neighbor OR (runs have length <= 2: both inputs hold distinct keys) +
+sentinel compaction — a deterministic reduction order, preserving
+bit-identical outputs (SURVEY §5.8).
+
+Capacities grow in power-of-two steps so the number of distinct compiled
+programs stays logarithmic.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .codec import SENTINEL, pack_kmers, unpack_bases
+from .lookup import mix64
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _chunk_mixed_distinct(packed: jax.Array, nmask: jax.Array, Lk: tuple):
+    """packed/nmask (pack_bases_np) -> sorted distinct mixed keys
+    (SENTINEL-padded, static shape [L - k + 1])."""
+    L, k = Lk
+    codes = unpack_bases(packed, nmask, L)
+    canon, _ = pack_kmers(codes, k)
+    m = jnp.where(canon == SENTINEL, SENTINEL, mix64(canon))
+    s = jnp.sort(m)
+    dup = jnp.concatenate([jnp.zeros(1, bool), s[1:] == s[:-1]])
+    return jnp.sort(jnp.where(dup, SENTINEL, s))
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _merge_into(keys: jax.Array, masks: jax.Array, new_keys: jax.Array,
+                nwords: int, gid: jax.Array):
+    """Merge a genome's sorted distinct key chunk into the dictionary.
+
+    keys u64 [C] sentinel-padded sorted; masks u32 [C, W]; new_keys u64 [M]
+    sentinel-padded sorted; gid i32 scalar.  Returns ([C+M] keys, masks,
+    count) with sentinels at the tail.
+    """
+    bit = (jnp.uint32(1) << (gid % 32).astype(jnp.uint32))
+    word = gid // 32
+    new_masks = jnp.where(
+        (jnp.arange(nwords) == word)[None, :]
+        & (new_keys != SENTINEL)[:, None],
+        bit, jnp.uint32(0),
+    )
+
+    allk = jnp.concatenate([keys, new_keys])
+    allm = jnp.concatenate([masks, new_masks], axis=0)
+    ops = (allk,) + tuple(allm[:, w] for w in range(nwords))
+    out = jax.lax.sort(ops, num_keys=1)
+    ks = out[0]
+    ms = jnp.stack(out[1:], axis=1)
+
+    # runs of equal keys have length <= 2: OR the pair into the first slot,
+    # sentinel out the second
+    dup_next = jnp.concatenate([ks[:-1] == ks[1:], jnp.zeros(1, bool)])
+    dup_prev = jnp.concatenate([jnp.zeros(1, bool), ks[1:] == ks[:-1]])
+    real = ks != SENTINEL
+    merged = jnp.where((dup_next & real)[:, None],
+                       ms | jnp.roll(ms, -1, axis=0), ms)
+    ks = jnp.where(dup_prev & real, SENTINEL, ks)
+    merged = jnp.where((dup_prev & real)[:, None], jnp.uint32(0), merged)
+
+    ops2 = (ks,) + tuple(merged[:, w] for w in range(nwords))
+    out2 = jax.lax.sort(ops2, num_keys=1)
+    ks2 = out2[0]
+    ms2 = jnp.stack(out2[1:], axis=1)
+    count = jnp.sum(ks2 != SENTINEL)
+    return ks2, ms2, count
+
+
+class DeviceDictBuilder:
+    """Incremental on-device dictionary construction over genome streams."""
+
+    def __init__(self, k: int, ngenomes: int, chunk: int = 1 << 22):
+        self.k = k
+        self.ngenomes = ngenomes
+        self.nwords = (ngenomes + 31) // 32
+        self.chunk = chunk
+        self.keys = None   # device u64 [cap]
+        self.masks = None  # device u32 [cap, W]
+        self.count = 0
+
+    def _ensure_capacity(self, needed: int):
+        cap = 1 << max(int(np.ceil(np.log2(max(needed, 2)))), 10)
+        if self.keys is None:
+            self.keys = jnp.full(cap, SENTINEL, jnp.uint64)
+            self.masks = jnp.zeros((cap, self.nwords), jnp.uint32)
+        elif self.keys.shape[0] < cap:
+            pad = cap - self.keys.shape[0]
+            self.keys = jnp.concatenate(
+                [self.keys, jnp.full(pad, SENTINEL, jnp.uint64)])
+            self.masks = jnp.concatenate(
+                [self.masks, jnp.zeros((pad, self.nwords), jnp.uint32)])
+
+    def add_sequence(self, gid: int, codes: np.ndarray):
+        """Stream one sequence of genome `gid` (uint8 codes) into the dict."""
+        from .codec import pack_bases_np
+
+        k = self.k
+        n = len(codes) - k + 1
+        if n <= 0:
+            return
+        chunk = self.chunk
+        buf = np.full(chunk + k - 1, 255, np.uint8)
+        for start in range(0, n, chunk):
+            m = min(chunk, n - start)
+            buf[:] = 255
+            buf[: m + k - 1] = codes[start : start + m + k - 1]
+            packed, nmask, L = pack_bases_np(buf)
+            new_keys = _chunk_mixed_distinct(
+                jnp.asarray(packed), jnp.asarray(nmask), (L, k))
+            self._ensure_capacity(self.count + chunk)
+            self.keys, self.masks, cnt = _merge_into(
+                self.keys, self.masks, new_keys, self.nwords,
+                jnp.int32(gid))
+            self.count = int(cnt)
+
+    def add_genome(self, gid: int, code_arrays):
+        for codes in code_arrays:
+            self.add_sequence(gid, np.asarray(codes, np.uint8))
+
+    def to_host(self):
+        """Materialise (mixed-sorted keys, masks) on the host."""
+        from .dictionary import PanKmerDict
+
+        keys = np.asarray(self.keys)[: self.count]
+        masks = np.asarray(self.masks)[: self.count]
+        return PanKmerDict(keys, masks, self.ngenomes, self.k,
+                           key_space="mixed")
+
+    def bucketed(self):
+        """Build the query-time layout directly (host-side layout pass for
+        now; keys stay in mixed space so no re-sort is needed)."""
+        from .lookup import BucketedDict
+
+        keys = np.asarray(self.keys)[: self.count]
+        masks = np.asarray(self.masks)[: self.count]
+        return BucketedDict.build(keys, masks, self.ngenomes, self.k,
+                                  mixed=True)

@@ -56,7 +56,9 @@ def _merge_sets(keys: jax.Array, gids: jax.Array, nwords: int):
 class PanKmerDict:
     """The HBM-resident pan-kmer dictionary (host mirror).
 
-    keys:  sorted distinct canonical k-mers, u64 [D]
+    keys:  sorted distinct keys, u64 [D] — canonical k-mers (key_space
+           "canon") or their splitmix64 mixes (key_space "mixed", produced
+           by the device-resident builder, ops/devdict.py)
     masks: presence masks, u32 [D, W], W = ceil(ngenomes/32)
     """
 
@@ -64,6 +66,7 @@ class PanKmerDict:
     masks: np.ndarray
     ngenomes: int
     k: int
+    key_space: str = "canon"
 
     @property
     def nwords(self) -> int:
@@ -78,12 +81,15 @@ class PanKmerDict:
 
     def save(self, path: str):
         np.savez(path, keys=self.keys, masks=self.masks,
-                 ngenomes=self.ngenomes, k=self.k)
+                 ngenomes=self.ngenomes, k=self.k,
+                 key_space=self.key_space)
 
     @classmethod
     def load(cls, path: str) -> "PanKmerDict":
         z = np.load(path)
-        return cls(z["keys"], z["masks"], int(z["ngenomes"]), int(z["k"]))
+        key_space = str(z["key_space"]) if "key_space" in z else "canon"
+        return cls(z["keys"], z["masks"], int(z["ngenomes"]), int(z["k"]),
+                   key_space)
 
     def pairwise_shared(self, block: int = 1 << 20) -> np.ndarray:
         """Genome x genome shared-distinct-kmer counts via a blocked

@@ -113,6 +113,35 @@ def _count_fastq(path, k, min_count=2):
     return keys[counts >= min_count]
 
 
+def build_dict_device(index: Index, force=False) -> str:
+    """Alternative count+dict stage: stream every genome through the
+    device-resident builder (ops/devdict.py) — no per-genome set files,
+    nothing leaves HBM until the final dictionary is saved.  Used with
+    --device-dict; resume granularity is the whole dictionary."""
+    out = index.dict_fname
+    fastas = [index.genomes[n]._fasta_path for n in index.genome_names]
+    if not force and _outputs_fresh([out], fastas):
+        return out
+    t0 = time.time()
+    os.makedirs(index.kmer_dir, exist_ok=True)
+
+    from .ops.devdict import DeviceDictBuilder
+
+    b = DeviceDictBuilder(index.k, index.ngenomes)
+    for gid, name in enumerate(index.genome_names):
+        g = index.genomes[name]
+        if g.fasta is None:
+            continue
+        for _, seq in iter_fasta(g._fasta_path):
+            b.add_sequence(gid, seq_to_codes(seq))
+        logger.info(f"device dict: merged {name} ({b.count} keys)")
+    d = b.to_host()
+    d.save(out)
+    _benchmark(index.prefix, "dict", t0)
+    logger.info(f"device dictionary: {len(d)} keys x {d.nwords} words")
+    return out
+
+
 def build_dict_stage(index: Index, force=False) -> str:
     out = index.dict_fname
     set_files = [index.kmer_set_fname(n) for n in index.genome_names]
@@ -161,19 +190,23 @@ def dist_stage(index: Index, pan_dict=None, force=False) -> str:
     return out
 
 
-def build_index(samples_or_dir: str, prefix=None, force=False, **params) -> Index:
+def build_index(samples_or_dir: str, prefix=None, force=False,
+                device_dict=False, **params) -> Index:
     """Run the full build DAG.  `samples_or_dir` is a samples.tsv (fresh
-    build) or an initialized index dir (resume)."""
+    build) or an initialized index dir (resume).  device_dict=True streams
+    counting+merge entirely on device (no per-genome set artifacts)."""
     index = Index(samples_or_dir, mode="w", prefix=prefix, **params)
     logdir = os.path.join(index.prefix, "logs")
     os.makedirs(logdir, exist_ok=True)
     init_logger()
 
-    for name in index.genome_names:
-        if index.genomes[name].fasta is not None:
-            count_genome(index, name, force=force)
-
-    build_dict_stage(index, force=force)
+    if device_dict:
+        build_dict_device(index, force=force)
+    else:
+        for name in index.genome_names:
+            if index.genomes[name].fasta is not None:
+                count_genome(index, name, force=force)
+        build_dict_stage(index, force=force)
     pan_dict = PanKmerDict.load(index.dict_fname)
 
     for name in index.anchor_genomes:
