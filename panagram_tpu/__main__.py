@@ -32,6 +32,12 @@ def _add_index(sub):
     p.add_argument("--device-dict", action="store_true",
                    help="count + merge the dictionary entirely on device "
                         "(no per-genome k-mer set files)")
+    p.add_argument("--num-processes", type=int, default=1,
+                   help="distributed build: total processes/hosts")
+    p.add_argument("--process-id", type=int, default=0,
+                   help="distributed build: this process's id")
+    p.add_argument("--coordinator", default=None,
+                   help="jax.distributed coordinator address (host:port)")
     return p
 
 
@@ -54,6 +60,17 @@ def _run_index(args):
         idx = Index(args.input, mode="w", prefix=args.prefix, **params)
         print(f"Prepared index at {idx.prefix}. "
               f"Run 'panagram_tpu index {idx.prefix}' to build.")
+    elif args.num_processes > 1:
+        from .parallel.distributed import build_index_distributed
+
+        idx = build_index_distributed(
+            args.input, prefix=args.prefix,
+            num_processes=args.num_processes, process_id=args.process_id,
+            coordinator=args.coordinator, force=args.force, **params)
+        if idx is not None:
+            print(f"Index built at {idx.prefix}")
+        else:
+            print(f"Process {args.process_id} finished its shard")
     else:
         idx = build_index(args.input, prefix=args.prefix, force=args.force,
                           device_dict=args.device_dict, **params)

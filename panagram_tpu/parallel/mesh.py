@@ -34,8 +34,13 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
 def initialize_distributed(coordinator: str | None = None,
                            num_processes: int | None = None,
                            process_id: int | None = None):
-    """Multi-host bring-up (jax.distributed); no-op when single-process."""
-    if num_processes is None or num_processes <= 1:
+    """Multi-host bring-up (jax.distributed).
+
+    Only runs when a coordinator address is explicitly given: the
+    file-coordinated build DAG (parallel/distributed.py) does not need
+    cross-process collectives, and jax.distributed must be initialized
+    before any backend use, which a library cannot guarantee."""
+    if not coordinator or num_processes is None or num_processes <= 1:
         return
     jax.distributed.initialize(
         coordinator_address=coordinator,
