@@ -831,7 +831,7 @@ class Genome:
             st = int(df.index.get_level_values("start").min())
             en = int(min(self.sizes[chrom], df.index.get_level_values("end").max()))
 
-            bitsum = self.query(chrom, st, en).sum(axis=1).to_numpy()
+            bitsum = self.query(chrom, st, en).sum(axis=1).to_numpy().astype(np.int64)
 
             for start, end in df.index:
                 if end <= start or start < 0 or end - st > len(bitsum):

@@ -222,10 +222,32 @@ def chromosome_view(index, genome, chrom, start=None, end=None,
     n = index.ngenomes
     colors = genome_colors(n + 1)
 
-    fig, (ax1, ax2, ax3) = plt.subplots(
-        3, 1, figsize=(10, 8), height_ratios=[2, 2, 1],
-        sharex=True, constrained_layout=True,
-    )
+    # order genomes by ward-linkage clustering of sampled bitmap rows
+    # (reference view.plot_interactive builds the same tree from <=50k
+    # sampled rows, view.py:751-919,1183)
+    order = np.arange(n)
+    link = None
+    try:
+        sample = bitmap.sample(n=min(len(bitmap), 50_000), random_state=42)
+        if n > 2 and sample.to_numpy().std() > 0:
+            link = hierarchy.linkage(sample.to_numpy().T, method="ward")
+            order = np.asarray(hierarchy.leaves_list(link))
+    except Exception:
+        pass
+
+    fig = plt.figure(figsize=(11, 8), constrained_layout=True)
+    gs = fig.add_gridspec(3, 2, height_ratios=[2, 2, 1],
+                          width_ratios=[12, 1])
+    ax1 = fig.add_subplot(gs[0, 0])
+    ax2 = fig.add_subplot(gs[1, 0], sharex=ax1)
+    ax3 = fig.add_subplot(gs[2, 0], sharex=ax1)
+    axd = fig.add_subplot(gs[1, 1])
+    if link is not None:
+        hierarchy.dendrogram(link, ax=axd, orientation="right",
+                             no_labels=True, color_threshold=0,
+                             link_color_func=lambda _: "#888888")
+        axd.invert_yaxis()
+    axd.axis("off")
 
     # stacked occupancy counts per bin
     xs = pancount.columns.to_numpy() * binlen
@@ -241,14 +263,15 @@ def chromosome_view(index, genome, chrom, start=None, end=None,
     ax1.set_ylabel("occupancy fraction")
     ax1.set_title(f"{genome} {chrom}:{start:,}-{end:,} (step {step})")
 
-    # per-genome presence heatmap
-    pc = paircount.to_numpy()
+    # per-genome presence heatmap (rows in tree order)
+    pc = paircount.to_numpy()[order]
+    labels = [paircount.index[i] for i in order]
     im = ax2.imshow(
         pc, aspect="auto", interpolation="nearest", cmap="viridis",
         extent=[xs[0] if len(xs) else start,
                 (xs[-1] + binlen) if len(xs) else end, n - 0.5, -0.5],
     )
-    ax2.set_yticks(range(n), list(paircount.index), fontsize=7)
+    ax2.set_yticks(range(n), labels, fontsize=7)
     ax2.set_ylabel("genome")
 
     # annotation tracks

@@ -244,3 +244,61 @@ def test_umap_outputs(pan):
     for f in ["chrom_umaps.csv", "genome_umap.csv"]:
         df = pd.read_csv(pan["idx_dir"] / "anchor" / "g1" / f)
         assert {"start", "end", "umap1", "umap2", "cluster"} <= set(df.columns)
+
+
+def test_annotate_command(pan, tmp_path):
+    """Re-annotation from an existing bitmap (reference index.py:971-1010)."""
+    from panagram_tpu.index import Index
+
+    gff2 = tmp_path / "new.gff"
+    gff2.write_text(
+        "chr1\tsrc\tgene\t501\t900\t.\t+\t.\tID=geneX;Name=NewGene\n"
+        "chr1\tsrc\texon\t501\t700\t.\t+\t.\tID=exX;Parent=geneX\n"
+    )
+    idx = Index(str(pan["idx_dir"]))
+    idx["g2"].run_annotate(str(gff2))
+    idx.close()
+
+    idx2 = Index(str(pan["idx_dir"]))
+    genes = idx2.query_genes("g2", "chr1", 0, 3000)
+    assert list(genes["name"]) == ["NewGene"]
+    # occupancy columns match the oracle over the (GFF-coordinate) span
+    _, _, per_chrom = _oracle_bytes(pan, "g2")
+    popc = popcount_np(per_chrom["chr1"])
+    hist = np.bincount(popc[501:900], minlength=NGENOMES + 1)
+    assert genes.iloc[0][1] == hist[1]
+    assert genes.iloc[0][NGENOMES] == hist[NGENOMES]
+    anno = idx2.query_anno("g2", "chr1", 0, 3000)
+    assert set(anno["type"]) == {"exon"}
+    idx2.close()
+
+
+def test_fastq_counting(tmp_path, rng):
+    """FASTQ inputs count k-mers with min-count 2 (reference -ci2,
+    workflow/Snakefile:88)."""
+    import gzip as _gzip
+
+    from panagram_tpu.pipeline import _count_fastq
+    from panagram_tpu.ops.ref_impl import genome_kmer_set
+
+    good = "".join(rng.choice(list("ACGT"), 300))
+    err = "".join(rng.choice(list("ACGT"), 60))
+    fq = tmp_path / "reads.fastq.gz"
+    with _gzip.open(fq, "wt") as f:
+        for i in range(3):  # the real sequence appears 3x
+            f.write(f"@r{i}\n{good}\n+\n{'I' * len(good)}\n")
+        f.write(f"@err\n{err}\n+\n{'I' * len(err)}\n")  # singleton errors
+    kmers = _count_fastq(str(fq), 11)
+    want = genome_kmer_set([good], 11)
+    # every k-mer of the 3x-covered sequence is kept
+    assert np.isin(want, kmers).all()
+    # error-read k-mers are kept only when they occur >= 2 times in the
+    # whole input (KMC -ci2 semantics): singletons are dropped
+    from panagram_tpu.ops.ref_impl import canonical_kmers_np
+
+    canon, valid = canonical_kmers_np(err, 11)
+    vals, counts = np.unique(canon[valid], return_counts=True)
+    err_singletons = np.setdiff1d(vals[counts == 1], want)
+    err_repeats = np.setdiff1d(vals[counts >= 2], want)
+    assert not np.isin(err_singletons, kmers).any()
+    assert np.isin(err_repeats, kmers).all()
