@@ -56,6 +56,7 @@ def init_logger(logfile=None):
         level=logging.INFO,
         format="[%(asctime)s %(levelname)s] %(message)s",
         datefmt="%Y-%m-%d %H:%M:%S",
+        force=logfile is not None,
     )
 
 

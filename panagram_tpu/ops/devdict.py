@@ -89,7 +89,8 @@ def _merge_into(keys: jax.Array, masks: jax.Array, new_keys: jax.Array,
 class DeviceDictBuilder:
     """Incremental on-device dictionary construction over genome streams."""
 
-    def __init__(self, k: int, ngenomes: int, chunk: int = 1 << 22):
+    def __init__(self, k: int, ngenomes: int, chunk: int = 1 << 22,
+                 capacity_hint: int | None = None):
         self.k = k
         self.ngenomes = ngenomes
         self.nwords = (ngenomes + 31) // 32
@@ -97,6 +98,11 @@ class DeviceDictBuilder:
         self.keys = None   # device u64 [cap]
         self.masks = None  # device u32 [cap, W]
         self.count = 0
+        if capacity_hint:
+            # pre-size so the merge program compiles exactly once (capacity
+            # growth would otherwise recompile per power-of-two step — very
+            # costly on remote-compile backends)
+            self._ensure_capacity(capacity_hint + chunk)
 
     def _ensure_capacity(self, needed: int):
         cap = 1 << max(int(np.ceil(np.log2(max(needed, 2)))), 10)

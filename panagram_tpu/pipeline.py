@@ -127,7 +127,17 @@ def build_dict_device(index: Index, force=False) -> str:
 
     from .ops.devdict import DeviceDictBuilder
 
-    b = DeviceDictBuilder(index.k, index.ngenomes)
+    # upper bound on distinct canonical k-mers: the largest genome plus
+    # divergence headroom (the union is far below the sum for related
+    # genomes); the builder grows if the estimate is exceeded
+    sizes = []
+    for n in index.genome_names:
+        f = index.genomes[n]._fasta_path
+        if f and os.path.exists(f):
+            sizes.append(os.path.getsize(f))
+    hint = int(max(sizes) * 1.5) if sizes else None
+
+    b = DeviceDictBuilder(index.k, index.ngenomes, capacity_hint=hint)
     for gid, name in enumerate(index.genome_names):
         g = index.genomes[name]
         if g.fasta is None:
@@ -174,7 +184,7 @@ def anchor_stage(index: Index, name: str, pan_dict=None, force=False):
         pan_dict = PanKmerDict.load(index.dict_fname)
     log = os.path.join(index.prefix, "logs", f"anchor.{name}.log.txt")
     os.makedirs(os.path.dirname(log), exist_ok=True)
-    g.run_anchor(pan_dict, logfile=None)
+    g.run_anchor(pan_dict, logfile=log)
     _benchmark(index.prefix, f"anchor.{name}", t0)
 
 
