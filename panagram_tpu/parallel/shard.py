@@ -33,6 +33,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..ops.codec import SENTINEL, pack_kmers
 from ..ops.dictionary import PanKmerDict
+from ..ops.lookup import mix64
 from .mesh import DICT_AXIS
 
 
@@ -50,6 +51,7 @@ class ShardedDict:
     boundaries: jax.Array  # u64 [S] replicated
     ngenomes: int
     k: int
+    mixed: bool = False   # keys/boundaries live in splitmix64-mixed space
 
     @property
     def nwords(self):
@@ -86,6 +88,135 @@ def shard_dictionary(pan_dict: PanKmerDict, mesh) -> ShardedDict:
         boundaries=jax.device_put(bounds, repl),
         ngenomes=pan_dict.ngenomes,
         k=pan_dict.k,
+    )
+
+
+def _uniform_bounds(n_shards: int) -> np.ndarray:
+    """Mixed-key space is uniform, so shard boundaries are just equal
+    slices of the u64 range."""
+    return (np.arange(n_shards, dtype=np.uint64)
+            * np.uint64((1 << 64) // n_shards))
+
+
+def _dispatch(values, tgt, n_shards, *payloads):
+    """Sort-by-destination capacity-C dispatch: returns ([S, C] buffers for
+    values and each payload, plus (order, tgt_s, slot) to un-dispatch)."""
+    C = values.shape[0]
+    order = jnp.argsort(tgt, stable=True)
+    tgt_s = tgt[order]
+    counts = jnp.bincount(tgt_s, length=n_shards)
+    offsets = jnp.cumsum(counts) - counts
+    slot = jnp.arange(C) - offsets[tgt_s]
+    bufs = []
+    buf = jnp.full((n_shards, C), SENTINEL, jnp.uint64).at[
+        tgt_s, slot].set(values[order])
+    bufs.append(buf)
+    for p in payloads:
+        pb = jnp.zeros((n_shards, C), p.dtype).at[tgt_s, slot].set(p[order])
+        bufs.append(pb)
+    return bufs, (order, tgt_s, slot)
+
+
+def _all_to_all(x, n_shards):
+    out = jax.lax.all_to_all(x, DICT_AXIS, split_axis=0, concat_axis=0,
+                             tiled=False)
+    return out.reshape(n_shards, -1)
+
+
+def _build_shard_body(keys, gids, nwords: int, n_shards: int, cap: int):
+    """shard_map body for the distributed dictionary build: route (key,
+    genome) pairs to their owning shard by mixed-key range (hash-bucket
+    all_to_all, SURVEY §5.8 P8a), then sort-merge locally into
+    (keys [cap], masks [cap, W], count)."""
+    keys = keys.reshape(-1)
+    gids = gids.reshape(-1)
+    C = keys.shape[0]
+
+    m = jnp.where(keys == SENTINEL, SENTINEL, mix64(keys))
+    bounds = jnp.asarray(_uniform_bounds(n_shards))
+    tgt = jnp.clip(jnp.searchsorted(bounds, m, side="right") - 1,
+                   0, n_shards - 1).astype(jnp.int32)
+
+    (kbuf, gbuf), _ = _dispatch(m, tgt, n_shards, gids)
+    krecv = _all_to_all(kbuf, n_shards).reshape(-1)   # [S*C]
+    grecv = _all_to_all(gbuf, n_shards).reshape(-1)
+
+    # local merge (the logic of ops.dictionary._merge_sets)
+    ks, g = jax.lax.sort((krecv, grecv), num_keys=1)
+    real = ks != SENTINEL
+    is_start = jnp.concatenate(
+        [jnp.ones(1, bool), ks[1:] != ks[:-1]]) & real
+    seg = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    count = seg[-1] + 1
+    T = ks.shape[0]
+
+    safe = jnp.where(real, ks, jnp.uint64(0))
+    out_keys = jax.ops.segment_max(safe, seg, num_segments=T)
+    out_keys = jnp.where(jnp.arange(T) < count, out_keys, SENTINEL)
+
+    word = g // 32
+    bit = (jnp.uint32(1) << (g % 32).astype(jnp.uint32))
+    cols = []
+    for w in range(nwords):
+        contrib = jnp.where(real & (word == w), bit, jnp.uint32(0))
+        cols.append(jax.ops.segment_sum(contrib, seg, num_segments=T))
+    masks = jnp.stack(cols, axis=1)
+    masks = jnp.where((jnp.arange(T) < count)[:, None], masks,
+                      jnp.uint32(0))
+
+    return out_keys[:cap], masks[:cap], count[None]
+
+
+def sharded_build_dictionary(genome_sets, mesh, ngenomes: int, k: int,
+                             cap_factor: float = 2.5) -> "ShardedDict":
+    """Distributed dictionary build over the mesh.
+
+    genome_sets[g]: host numpy u64 distinct canonical keys of genome g.
+    Pairs are scattered round-robin across devices, routed to their owning
+    shard with all_to_all by mixed-key range, and merged locally — the
+    collective design SURVEY §2.7 P8 calls for.  Returns a ShardedDict in
+    mixed-key space (uniform range boundaries) directly usable by
+    sharded_anchor_step(mixed=True).
+    """
+    n = mesh.devices.size
+    W = (ngenomes + 31) // 32
+    total = int(sum(len(s) for s in genome_sets))
+    per_dev = -(-max(total, 1) // n)
+    keys = np.full(n * per_dev, np.uint64(SENTINEL), np.uint64)
+    gids = np.zeros(n * per_dev, np.int32)
+    off = 0
+    for g, s in enumerate(genome_sets):
+        keys[off : off + len(s)] = s
+        gids[off : off + len(s)] = g
+        off += len(s)
+
+    # a shard receives at most n*per_dev entries (everything); cap_factor
+    # covers hash imbalance without allocating the full worst case
+    cap = min(int(per_dev * cap_factor), n * per_dev)
+    shard = NamedSharding(mesh, P(DICT_AXIS))
+    kd = jax.device_put(keys.reshape(n, per_dev), shard)
+    gd = jax.device_put(gids.reshape(n, per_dev), shard)
+
+    body = partial(_build_shard_body, nwords=W, n_shards=n, cap=cap)
+    f = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(DICT_AXIS), P(DICT_AXIS)),
+        out_specs=(P(DICT_AXIS), P(DICT_AXIS), P(DICT_AXIS)),
+    )
+    out_keys, out_masks, counts = jax.jit(f)(kd, gd)
+    counts = np.asarray(counts)
+    if np.any(counts > cap):
+        raise RuntimeError("sharded build: shard overflowed cap; "
+                           "increase cap_factor")
+
+    bounds = jax.device_put(_uniform_bounds(n), NamedSharding(mesh, P()))
+    return ShardedDict(
+        keys=out_keys.reshape(n, cap),
+        masks=out_masks.reshape(n, cap, W),
+        boundaries=bounds,
+        ngenomes=ngenomes,
+        k=k,
+        mixed=True,
     )
 
 
@@ -136,7 +267,7 @@ def _route_lookup(canon, keys_l, masks_l, boundaries, n_shards):
 
 
 def _anchor_step_body(codes, keys_l, masks_l, boundaries, k, n_shards,
-                      ngenomes, binlen, nbins_local):
+                      ngenomes, binlen, nbins_local, mixed=False):
     """shard_map body: codes u8 [C + k - 1] (this device's halo'd slice).
 
     Returns (rows u32 [C, W], popc i32 [C], colsums i64 [N] psum'd,
@@ -145,6 +276,8 @@ def _anchor_step_body(codes, keys_l, masks_l, boundaries, k, n_shards,
     keys_l = keys_l.reshape(-1)                      # local [1, cap] -> [cap]
     masks_l = masks_l.reshape(masks_l.shape[-2], masks_l.shape[-1])
     canon, _ = pack_kmers(codes, k)
+    if mixed:
+        canon = jnp.where(canon == SENTINEL, SENTINEL, mix64(canon))
     rows = _route_lookup(canon, keys_l, masks_l, boundaries, n_shards)
     popc = jnp.sum(jax.lax.population_count(rows).astype(jnp.int32), axis=-1)
 
@@ -189,6 +322,7 @@ def sharded_anchor_step(mesh, sd: ShardedDict, codes_sharded: jax.Array,
         ngenomes=sd.ngenomes,
         binlen=binlen,
         nbins_local=nbins_local,
+        mixed=sd.mixed,
     )
 
     f = shard_map(

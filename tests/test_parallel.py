@@ -75,3 +75,56 @@ def test_sharded_anchor_multi_chrom_positions(setup):
     rows, popc, _, _ = sharded_anchor_step(mesh, sd, chunks,
                                            binlen=chunks.shape[1] - K + 1)
     assert np.array_equal(np.asarray(rows)[:nk], want)
+
+
+def test_sharded_build_dictionary(setup):
+    """all_to_all hash-bucket dictionary build matches the host merge."""
+    import numpy as np
+
+    from panagram_tpu.ops.lookup import mix64_np
+    from panagram_tpu.ops.ref_impl import genome_kmer_set
+    from panagram_tpu.parallel.shard import sharded_build_dictionary
+
+    mesh, d = setup["mesh"], setup["d"]
+    seqs = setup["seqs"]
+    sets = [genome_kmer_set([s], K) for s in seqs]
+    sd = sharded_build_dictionary(sets, mesh, ngenomes=5, k=K)
+    assert sd.mixed
+
+    keys = np.asarray(sd.keys).reshape(-1)
+    masks = np.asarray(sd.masks).reshape(-1, 1)
+    real = keys != np.uint64(0xFFFFFFFFFFFFFFFF)
+    got_keys = keys[real]
+    got_masks = masks[real]
+
+    mixed = mix64_np(d.keys)
+    order = np.argsort(mixed)
+    # shard-major concatenation is globally sorted in mixed space
+    assert np.array_equal(got_keys, mixed[order])
+    assert np.array_equal(got_masks, d.masks[order])
+
+
+def test_sharded_anchor_on_sharded_build(setup):
+    """End-to-end distributed: build dict via all_to_all, anchor via
+    all_to_all routing, compare to the single-device oracle."""
+    import numpy as np
+
+    from panagram_tpu.io.fasta import seq_to_codes
+    from panagram_tpu.ops.ref_impl import anchor_np, genome_kmer_set
+    from panagram_tpu.parallel.shard import (
+        make_halo_chunks,
+        sharded_build_dictionary,
+    )
+
+    mesh, d = setup["mesh"], setup["d"]
+    seqs = setup["seqs"]
+    sets = [genome_kmer_set([s], K) for s in seqs]
+    sd = sharded_build_dictionary(sets, mesh, ngenomes=5, k=K)
+
+    seq = seqs[1]
+    codes = seq_to_codes(seq)
+    want = anchor_np(seq, K, d.keys, d.masks)
+    chunks, nk = make_halo_chunks(codes, 8, K, chunk_per_dev=160)
+    rows, popc, colsums, hist = sharded_anchor_step(mesh, sd, chunks,
+                                                    binlen=40)
+    assert np.array_equal(np.asarray(rows)[:nk], want)
