@@ -174,3 +174,48 @@ def test_intros_heatmap_tool(intro_example):
         intro_example["idx_dir"], "OffspringGen1",
         groups_tsv=intro_example["group_tsv"], bin_size=5000, step=100)
     assert outs and outs[0].exists()
+
+
+def test_intros_pipeline_3way(intro_example):
+    """3-way calling: anchor more similar to WT than to REF by >= thr
+    (reference call_introgressions.py:289-339)."""
+    import yaml
+
+    from panagram_tpu.intros.runner import parse_config, run_introgression_pipeline
+
+    tmp = intro_example["tmp"]
+    out_dir = tmp / "calls3way"
+    cfg = {
+        "general": {
+            "output_dir": str(out_dir),
+            "index_dir": str(intro_example["idx_dir"]),
+            "tsv": str(intro_example["group_tsv"]),
+            "bin": 5000,
+            "ref": "Reference",
+            "threads": 1,
+        },
+        "calling": {
+            "run": True, "grp": ["OFFSPRING"], "cmp": ["WT"],
+            "thr": [0.2], "stp": 100, "gnm": None, "trm": 3,
+            "sft": "mean", "ssz": 2, "urf": False, "rmf": True,
+            "rmu": None, "ogrp": None, "edg": False, "vis": False,
+        },
+        "postprocessing": {"run": True, "act": ["fgap", "rmbn"],
+                           "min": 2, "gap": 1},
+        "scoring": {"run": True, "gdt": str(intro_example["sim_dir"]),
+                    "act": None, "min": 1, "gap": 1, "thr": 0.25,
+                    "cmp": ["WT"], "vis": False},
+    }
+    cfg_path = tmp / "3way.yaml"
+    cfg_path.write_text(yaml.dump(cfg))
+    run_introgression_pipeline(parse_config(cfg_path), sweep=False)
+
+    thr_dir = out_dir / f"{out_dir.name}_0.2"
+    raw = sorted((thr_dir / "raw").glob("*_WT.bed"))
+    assert len(raw) == 3
+    metrics_files = list((thr_dir / "scored").glob("metrics_WT.tsv"))
+    assert metrics_files
+    import pandas as pd
+
+    m = pd.read_csv(metrics_files[0], sep="\t", index_col=0)
+    assert m["Recall"].iloc[0] > 0.5
