@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import logging
 import os
-import re
+import threading
 from collections import defaultdict
 
 import numpy as np
@@ -418,9 +418,12 @@ class Genome:
     def init_chrs(self):
         fa = FastaFile(self._fasta_path)
         k = self.index.k
+        # size = L - k + 1 (reference index.py:580), clamped at 0 for
+        # scaffolds shorter than k: a negative size would corrupt the
+        # cumulative byte offsets of every later chromosome
         chrs = pd.DataFrame(
             [
-                (i, name, fa.get_reference_length(name) - k + 1)
+                (i, name, max(fa.get_reference_length(name) - k + 1, 0))
                 for i, name in enumerate(fa.references)
             ],
             columns=["id", "name", "size"],
@@ -455,6 +458,9 @@ class Genome:
         self.bitmaps = {
             s: BgzfReader(self.bitmap_gz_fname(s)) for s in self.steps
         }
+        # BgzfReader is stateful (seek+read); queries may come from thread
+        # pools (introgression caller threads, the threaded viewer server)
+        self._query_lock = threading.Lock()
 
         self.bitsum_bins = self._read_bitsum_bins()
         self.bitsum_chrs = self.bitsum_bins.groupby("chr").sum()
@@ -559,8 +565,9 @@ class Genome:
         blk_offs = int(byte_start - blocks["dstart"][blk])
         blk_start = int(blocks["rstart"][blk])
 
-        self.bitmaps[bstep].seek(make_virtual_offset(blk_start, blk_offs))
-        buf = self.bitmaps[bstep].read(length * self.nbytes)
+        with self._query_lock:
+            self.bitmaps[bstep].seek(make_virtual_offset(blk_start, blk_offs))
+            buf = self.bitmaps[bstep].read(length * self.nbytes)
 
         pac = np.frombuffer(buf, "uint8").reshape((len(buf) // self.nbytes, self.nbytes))
         return pac[::step] if step > 1 else pac

@@ -179,30 +179,31 @@ def apply_genome_wide_introgressions(ref_seqs, rel_seqs, mappers, available,
                 continue
             placed.append((start, end))
         placed.sort()
-        # splice from the end so earlier coordinates stay valid
-        for start, end in sorted(placed, reverse=True):
-            rs = mapper[start]
-            while rs < 0 and start < end:
-                start += 1
-                rs = mapper[start]
-            re_ = mapper[end]
-            while re_ < 0 and end > start:
-                end -= 1
-                re_ = mapper[end]
-            if end <= start:
-                continue
-            segment = rel_seqs[chrom][rs:re_]
-            ref = ref[:start] + segment + ref[end:]
-        out[chrom] = ref
-        # recompute coordinates in the OFFSPRING genome (segment lengths may
-        # differ from the reference span they replaced)
-        shift = 0
+        # resolve each segment's (reference span, relative span) ONCE, so
+        # the splice and the ground-truth BED use identical coordinates
+        resolved = []
         for start, end in placed:
+            while mapper[start] < 0 and start < end:
+                start += 1
+            while mapper[end] < 0 and end > start:
+                end -= 1
             rs, re_ = mapper[start], mapper[end]
-            if rs < 0 or re_ < 0 or re_ <= rs:
+            if end <= start or re_ <= rs:
                 continue
+            resolved.append((start, end, int(rs), int(re_)))
+
+        # splice from the end so earlier coordinates stay valid
+        for start, end, rs, re_ in sorted(resolved, reverse=True):
+            ref = ref[:start] + rel_seqs[chrom][rs:re_] + ref[end:]
+        out[chrom] = ref
+
+        # offspring-genome coordinates (segment lengths may differ from the
+        # reference span they replaced)
+        shift = 0
+        for start, end, rs, re_ in resolved:
             seg_len = re_ - rs
-            beds.append(f"{chrom}\t{start + shift}\t{start + shift + seg_len}\tintrogression")
+            beds.append(
+                f"{chrom}\t{start + shift}\t{start + shift + seg_len}\tintrogression")
             shift += seg_len - (end - start)
     return out, beds
 

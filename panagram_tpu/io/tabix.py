@@ -54,9 +54,19 @@ def _reg2bins(beg: int, end: int, min_shift: int = MIN_SHIFT, depth: int = DEPTH
 def write_tabix(rows, bgz_path: str, csi_path: str | None = None,
                 seq_col: int = 0, beg_col: int = 1, end_col: int = 2):
     """Write TSV rows (iterable of sequences of str-able values, sorted by
-    (chrom, start)) as BGZF + .csi.  Returns (bgz_path, csi_path)."""
+    (chrom, start)) as BGZF + .csi.  Returns (bgz_path, csi_path).
+
+    The CSI depth grows beyond the default 5 when coordinates exceed
+    2^(14+3*5) (~537 Mb) — htslib does the same for large references; the
+    reader picks the depth up from the index header."""
     if csi_path is None:
         csi_path = bgz_path + ".csi"
+
+    rows = list(rows)
+    max_end = max((int(r[end_col]) for r in rows), default=0)
+    depth = DEPTH
+    while max_end >= 1 << (MIN_SHIFT + 3 * depth):
+        depth += 1
 
     names: list[str] = []
     name_idx: dict[str, int] = {}
@@ -80,13 +90,13 @@ def write_tabix(rows, bgz_path: str, csi_path: str | None = None,
         vbeg = cur_voffset()
         w.write(line.encode())
         vend = cur_voffset()
-        b = _reg2bin(beg, max(end, beg + 1))
+        b = _reg2bin(beg, max(end, beg + 1), MIN_SHIFT, depth)
         ref_bins[name_idx[chrom]].setdefault(b, []).append((vbeg, vend))
     w.close()
 
     with open(csi_path, "wb") as f:
         f.write(b"CSI\x01")
-        f.write(struct.pack("<ii", MIN_SHIFT, DEPTH))
+        f.write(struct.pack("<ii", MIN_SHIFT, depth))
         nm = b"".join(n.encode() + b"\x00" for n in names)
         aux = struct.pack("<7i", TBX_PRESET_BED, seq_col + 1, beg_col + 1,
                           end_col + 1, ord("#"), 0, len(nm)) + nm

@@ -48,15 +48,20 @@ def masks_to_bytes(rows: jax.Array) -> jax.Array:
     return b.astype(jnp.uint8).reshape(P, 4 * W)
 
 
+def _colsum_list(rows: jax.Array, n: int) -> jax.Array:
+    """Per-genome presence totals over the first n bits (int64 [n])."""
+    sums = []
+    for g in range(n):
+        w, bit = divmod(g, 32)
+        sums.append(jnp.sum(((rows[:, w] >> np.uint32(bit)) & 1).astype(jnp.int64)))
+    return jnp.stack(sums)
+
+
 @partial(jax.jit, static_argnums=(1,))
 def genome_column_sums(rows: jax.Array, ngenomes: int) -> jax.Array:
     """Per-genome presence totals over positions (int64 [N]) — the
     paircount_sums of reference index.py:1051."""
-    sums = []
-    for g in range(ngenomes):
-        w, bit = divmod(g, 32)
-        sums.append(jnp.sum(((rows[:, w] >> np.uint32(bit)) & 1).astype(jnp.int64)))
-    return jnp.stack(sums)
+    return _colsum_list(rows, ngenomes)
 
 
 @partial(jax.jit, static_argnums=(1, 2, 3))
@@ -92,11 +97,7 @@ def anchor_chunk_fast(packed: jax.Array, nmask: jax.Array,
     rows = bucket_query(canon, table, table2, nbits, nbits2, cap, nwords)
     popc = mask_popcount(rows)
     by = masks_to_bytes(rows)[:, :nbytes]
-    sums = []
-    for g in range(32 * nwords):
-        w, bit = divmod(g, 32)
-        sums.append(jnp.sum(((rows[:, w] >> np.uint32(bit)) & 1).astype(jnp.int64)))
-    colsums = jnp.stack(sums)
+    colsums = _colsum_list(rows, 32 * nwords)
     return by, popc, colsums
 
 
@@ -141,12 +142,9 @@ def anchor_chunk_rle(packed: jax.Array, nmask: jax.Array,
     out_popc = jnp.zeros(capacity + 1, jnp.int32).at[slots].set(
         popc, mode="drop")
 
-    sums = []
-    for g in range(32 * nwords):
-        w, bit = divmod(g, 32)
-        sums.append(jnp.sum(((rows[:, w] >> np.uint32(bit)) & 1).astype(jnp.int64)))
     # stats = [colsums..., count] in ONE array: a single host transfer
-    stats = jnp.concatenate([jnp.stack(sums), count[None].astype(jnp.int64)])
+    stats = jnp.concatenate([_colsum_list(rows, 32 * nwords),
+                             count[None].astype(jnp.int64)])
 
     return (out_pos[:capacity], out_bytes[:capacity], out_popc[:capacity],
             stats)

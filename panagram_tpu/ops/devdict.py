@@ -50,9 +50,13 @@ def _merge_into(keys: jax.Array, masks: jax.Array, new_keys: jax.Array,
     """Merge a genome's sorted distinct key chunk into the dictionary.
 
     keys u64 [C] sentinel-padded sorted; masks u32 [C, W]; new_keys u64 [M]
-    sentinel-padded sorted; gid i32 scalar.  Returns ([C+M] keys, masks,
-    count) with sentinels at the tail.
+    sentinel-padded sorted; gid i32 scalar.  Returns ([C] keys, [C, W]
+    masks, count) with sentinels at the tail — the output is truncated back
+    to the input capacity C (the caller guarantees count + M <= C), so the
+    builder's arrays keep a FIXED shape and the merge compiles once per
+    capacity instead of growing by M per call.
     """
+    C = keys.shape[0]
     bit = (jnp.uint32(1) << (gid % 32).astype(jnp.uint32))
     word = gid // 32
     new_masks = jnp.where(
@@ -80,8 +84,8 @@ def _merge_into(keys: jax.Array, masks: jax.Array, new_keys: jax.Array,
 
     ops2 = (ks,) + tuple(merged[:, w] for w in range(nwords))
     out2 = jax.lax.sort(ops2, num_keys=1)
-    ks2 = out2[0]
-    ms2 = jnp.stack(out2[1:], axis=1)
+    ks2 = out2[0][:C]
+    ms2 = jnp.stack(out2[1:], axis=1)[:C]
     count = jnp.sum(ks2 != SENTINEL)
     return ks2, ms2, count
 
@@ -133,6 +137,8 @@ class DeviceDictBuilder:
             packed, nmask, L = pack_bases_np(buf)
             new_keys = _chunk_mixed_distinct(
                 jnp.asarray(packed), jnp.asarray(nmask), (L, k))
+            # capacity must cover the worst case (all chunk keys new) so the
+            # truncated merge output is always complete
             self._ensure_capacity(self.count + chunk)
             self.keys, self.masks, cnt = _merge_into(
                 self.keys, self.masks, new_keys, self.nwords,

@@ -80,9 +80,16 @@ class PanKmerDict:
         return len(self.keys)
 
     def save(self, path: str):
-        np.savez(path, keys=self.keys, masks=self.masks,
-                 ngenomes=self.ngenomes, k=self.k,
-                 key_space=self.key_space)
+        # atomic write: readers (e.g. other hosts of a distributed build)
+        # must never observe a partially-written dictionary
+        import os
+
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, keys=self.keys, masks=self.masks,
+                     ngenomes=self.ngenomes, k=self.k,
+                     key_space=self.key_space)
+        os.replace(tmp, path)
 
     @classmethod
     def load(cls, path: str) -> "PanKmerDict":

@@ -267,7 +267,8 @@ def _route_lookup(canon, keys_l, masks_l, boundaries, n_shards):
 
 
 def _anchor_step_body(codes, keys_l, masks_l, boundaries, k, n_shards,
-                      ngenomes, binlen, nbins_local, mixed=False):
+                      ngenomes, binlen, nbins_local, mixed=False,
+                      total_positions=None):
     """shard_map body: codes u8 [C + k - 1] (this device's halo'd slice).
 
     Returns (rows u32 [C, W], popc i32 [C], colsums i64 [N] psum'd,
@@ -288,18 +289,25 @@ def _anchor_step_body(codes, keys_l, masks_l, boundaries, k, n_shards,
         sums.append(jnp.sum(((rows[:, w] >> np.uint32(bit)) & 1).astype(jnp.int64)))
     colsums = jax.lax.psum(jnp.stack(sums), DICT_AXIS)
 
-    # local occupancy histogram over this device's contiguous bins
+    # local occupancy histogram over this device's contiguous bins; halo
+    # padding positions (beyond the real sequence) are routed to a trash
+    # slot so they don't inflate the occupancy-0 count of the last bin
     C = popc.shape[0]
     bins = (jnp.arange(C) // binlen).astype(jnp.int32)
     flat = bins * (ngenomes + 1) + popc
-    hist = jnp.zeros(nbins_local * (ngenomes + 1), jnp.int64).at[flat].add(1)
-    hist = hist.reshape(nbins_local, ngenomes + 1)
+    if total_positions is not None:
+        my_start = jax.lax.axis_index(DICT_AXIS).astype(jnp.int64) * C
+        real = my_start + jnp.arange(C) < total_positions
+        flat = jnp.where(real, flat, nbins_local * (ngenomes + 1))
+    hist = jnp.zeros(nbins_local * (ngenomes + 1) + 1,
+                     jnp.int64).at[flat].add(1, mode="drop")
+    hist = hist[:-1].reshape(nbins_local, ngenomes + 1)
 
     return rows, popc, colsums, hist
 
 
 def sharded_anchor_step(mesh, sd: ShardedDict, codes_sharded: jax.Array,
-                        binlen: int):
+                        binlen: int, total_positions: int | None = None):
     """Jit-compiled distributed anchor step.
 
     codes_sharded: u8 [n_shards, C + k - 1] — per-device halo'd sequence
@@ -323,6 +331,7 @@ def sharded_anchor_step(mesh, sd: ShardedDict, codes_sharded: jax.Array,
         binlen=binlen,
         nbins_local=nbins_local,
         mixed=sd.mixed,
+        total_positions=total_positions,
     )
 
     f = shard_map(

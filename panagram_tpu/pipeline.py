@@ -154,12 +154,21 @@ def build_dict_device(index: Index, force=False) -> str:
 
 def build_dict_stage(index: Index, force=False) -> str:
     out = index.dict_fname
-    set_files = [index.kmer_set_fname(n) for n in index.genome_names]
+    # only genomes with sequence data have k-mer sets (annotation-only rows
+    # contribute nothing; their presence bit stays 0)
+    set_files = [index.kmer_set_fname(n) for n in index.genome_names
+                 if index.genomes[n].fasta is not None]
     if not force and _outputs_fresh([out + ".npz" if not out.endswith(".npz") else out], set_files):
         return out
     t0 = time.time()
     sets = []
-    for f in set_files:
+    # genome id g == position in genome_names (presence bit g); genomes
+    # without sequence data contribute an empty set so ids stay aligned
+    for name in index.genome_names:
+        if index.genomes[name].fasta is None:
+            sets.append(np.zeros(0, np.uint64))
+            continue
+        f = index.kmer_set_fname(name)
         z = np.load(f)
         if int(z["k"]) != index.k:
             raise ValueError(f"{f}: k={int(z['k'])} != index k={index.k}")

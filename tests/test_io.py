@@ -80,3 +80,25 @@ def test_fasta_iter_and_fai(tmp_path):
 def test_seq_to_codes():
     codes = seq_to_codes("ACGTacgtNX-")
     assert list(codes) == [0, 1, 2, 3, 0, 1, 2, 3, 4, 4, 4]
+
+
+def test_tabix_roundtrip_and_large_coords(tmp_path):
+    from panagram_tpu.io.tabix import TabixFile, write_tabix
+
+    rows = [
+        ("chr1", 100, 200, "a"),
+        ("chr1", 150, 900, "b"),
+        ("chr1", 600_000_000, 600_000_500, "distal"),  # beyond 2^29
+        ("chr2", 5, 10, "c"),
+    ]
+    bgz = tmp_path / "t.bed.gz"
+    write_tabix(rows, str(bgz))
+    t = TabixFile(str(bgz))
+    assert t.contigs == ["chr1", "chr2"]
+    got = list(t.fetch("chr1", 120, 160))
+    assert {g[3] for g in got} == {"a", "b"}
+    # whole-contig fetch must include coordinates past 537 Mb
+    assert {g[3] for g in t.fetch("chr1")} == {"a", "b", "distal"}
+    assert list(t.fetch("chr1", 599_999_000, 700_000_000))[0][3] == "distal"
+    assert list(t.fetch("chr2", 0, 100))[0][3] == "c"
+    t.close()

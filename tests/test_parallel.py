@@ -44,7 +44,9 @@ def test_sharded_anchor_matches_oracle(setup):
     want_popc = popcount_np(want_rows)
 
     chunks, nk = make_halo_chunks(codes, 8, K, chunk_per_dev=160)
-    rows, popc, colsums, hist = sharded_anchor_step(mesh, sd, chunks, binlen=40)
+    rows, popc, colsums, hist = sharded_anchor_step(mesh, sd, chunks,
+                                                    binlen=40,
+                                                    total_positions=nk)
 
     rows = np.asarray(rows)[:nk]
     popc = np.asarray(popc)[:nk]
@@ -56,13 +58,14 @@ def test_sharded_anchor_matches_oracle(setup):
                          bitorder="little")[:, :5]
     assert np.array_equal(np.asarray(colsums), bits.sum(axis=0))
 
-    # histograms: concatenated local bins == global binning (pad bins at
-    # the tail count popc-0 slots for padding positions; compare real span)
+    # histograms: concatenated local bins == global binning, including the
+    # partial tail bin (halo padding must not inflate occupancy 0)
     hist = np.asarray(hist).reshape(-1, 6)
     binlen = 40
-    for b in range(nk // binlen):
+    for b in range(-(-nk // binlen)):
         seg = want_popc[b * binlen : (b + 1) * binlen]
-        assert np.array_equal(hist[b], np.bincount(seg, minlength=6))
+        assert np.array_equal(hist[b], np.bincount(seg, minlength=6)), b
+    assert hist[-(-nk // binlen):].sum() == 0
 
 
 def test_sharded_anchor_multi_chrom_positions(setup):
