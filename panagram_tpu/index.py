@@ -46,8 +46,9 @@ TABIX_COLS = ["chr", "start", "end", "type", "name"]
 TABIX_TYPES = {"start": int, "end": int}
 GENE_COLS = ["chr", "start", "end", "name"]
 
-# positions per device chunk in the anchoring stream (k-1 halo added)
-ANCHOR_CHUNK = 1 << 20
+# positions per device chunk in the anchoring stream (k-1 halo added);
+# large chunks amortize per-call host<->device latency
+ANCHOR_CHUNK = 1 << 22
 
 
 def init_logger(logfile=None):
@@ -638,12 +639,17 @@ class Genome:
             binlen = nkmers // self.index.conf.min_bin_count
         return max(int(binlen), 1)
 
-    def run_anchor(self, pan_dict=None, logfile=None):
+    def run_anchor(self, pan_dict=None, logfile=None, bucketed=None):
         """Anchor this genome against the pan-kmer dictionary.
 
         The streamed per-chunk pipeline replaces cpp/anchor.cpp:112-195:
         2-bit encode -> canonical pack -> dictionary gather -> byte-pack /
-        popcount / histograms, all device-side per chunk.
+        popcount / histograms, all device-side per chunk; chunk kernels are
+        dispatched asynchronously and drained in order so device compute
+        overlaps host packing, transfers, and BGZF writes.
+
+        `bucketed` (a prebuilt ops.lookup.BucketedDict) avoids re-laying
+        out the dictionary per anchor genome.
         """
         if logfile:
             init_logger(logfile)
@@ -672,7 +678,7 @@ class Genome:
         nbytes = self.nbytes
         lowres = self.index.lowres_step
 
-        bd = BucketedDict.build(
+        bd = bucketed if bucketed is not None else BucketedDict.build(
             pan_dict.keys, pan_dict.masks, N, k,
             mixed=(getattr(pan_dict, "key_space", "canon") == "mixed"))
         t1, t2 = bd.device_arrays()
@@ -710,16 +716,20 @@ class Genome:
             popc_full = np.empty(nkmers, np.int16) if self.annotated else None
 
             capacity = chunk // 2
+            # dispatch all chunk kernels asynchronously, drain in order
+            pending = []
             for start in range(0, nkmers, chunk):
                 m = min(chunk, nkmers - start)
                 buf[:] = 255
                 buf[: m + k - 1] = codes[start : start + m + k - 1]
                 inbuf, L = pack_bases_combined(buf)
-                ib = jnp.asarray(inbuf)
-                combined, stats = anchor_chunk_rle2(
-                    ib, t1, t2, L, k, bd.nbits, bd.nbits2, bd.cap,
-                    bd.nwords, nbytes, capacity,
+                out = anchor_chunk_rle2(
+                    jnp.asarray(inbuf), t1, t2, L, k, bd.nbits, bd.nbits2,
+                    bd.cap, bd.nwords, nbytes, capacity,
                 )
+                pending.append((start, m, L, inbuf, out))
+
+            for start, m, L, inbuf, (combined, stats) in pending:
                 st = np.asarray(stats)
                 count = int(st[-1])
                 P = L - k + 1

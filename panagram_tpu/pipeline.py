@@ -180,7 +180,8 @@ def build_dict_stage(index: Index, force=False) -> str:
     return out
 
 
-def anchor_stage(index: Index, name: str, pan_dict=None, force=False):
+def anchor_stage(index: Index, name: str, pan_dict=None, force=False,
+                 bucketed=None):
     g = index.genomes[name]
     outs = [g.chrs_fname, g.bins_fname] + [
         g.bitmap_gz_fname(s) for s in index.steps
@@ -193,7 +194,7 @@ def anchor_stage(index: Index, name: str, pan_dict=None, force=False):
         pan_dict = PanKmerDict.load(index.dict_fname)
     log = os.path.join(index.prefix, "logs", f"anchor.{name}.log.txt")
     os.makedirs(os.path.dirname(log), exist_ok=True)
-    g.run_anchor(pan_dict, logfile=log)
+    g.run_anchor(pan_dict, logfile=log, bucketed=bucketed)
     _benchmark(index.prefix, f"anchor.{name}", t0)
 
 
@@ -228,8 +229,15 @@ def build_index(samples_or_dir: str, prefix=None, force=False,
         build_dict_stage(index, force=force)
     pan_dict = PanKmerDict.load(index.dict_fname)
 
+    # lay out the query-time bucketed dictionary ONCE for all anchors
+    from .ops.lookup import BucketedDict
+
+    bucketed = BucketedDict.build(
+        pan_dict.keys, pan_dict.masks, index.ngenomes, index.k,
+        mixed=(pan_dict.key_space == "mixed"))
+
     for name in index.anchor_genomes:
-        anchor_stage(index, name, pan_dict, force=force)
+        anchor_stage(index, name, pan_dict, force=force, bucketed=bucketed)
 
     dist_stage(index, pan_dict, force=force)
 

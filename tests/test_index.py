@@ -302,3 +302,48 @@ def test_fastq_counting(tmp_path, rng):
     err_repeats = np.setdiff1d(vals[counts >= 2], want)
     assert not np.isin(err_singletons, kmers).any()
     assert np.isin(err_repeats, kmers).all()
+
+
+def test_many_genomes_multiword_masks(tmp_path, rng):
+    """34 genomes -> 2 mask words, nbytes=5 (the reference's multi-DB byte
+    slice layout where the last DB contributes nbytes%4 bytes,
+    index.py:940-946): full write+read path must stay byte-exact."""
+    n = 34
+    base = random_seq(rng, 800)
+
+    def mutate(seq, nmut):
+        s = list(seq)
+        for i in rng.choice(len(s), nmut, replace=False):
+            s[i] = "ACGT"[rng.integers(4)]
+        return "".join(s)
+
+    fa_dir = tmp_path / "fa"
+    fa_dir.mkdir()
+    seqs = {}
+    for g in range(n):
+        name = f"g{g:02d}"
+        seqs[name] = mutate(base, 10 + g)
+        (fa_dir / f"{name}.fa").write_text(f">chr1\n{seqs[name]}\n")
+    samples = tmp_path / "samples.tsv"
+    samples.write_text("name\tfasta\n" + "\n".join(
+        f"{m}\t{fa_dir}/{m}.fa" for m in seqs) + "\n")
+
+    idx = build_index(str(samples), prefix=str(tmp_path / "idx"), k=K,
+                      anchor_genomes=["g00", "g33"])
+
+    sets = [genome_kmer_set([s], K) for s in seqs.values()]
+    keys, masks = build_dict_np(sets)
+    assert masks.shape[1] == 2
+
+    for anchor in ["g00", "g33"]:
+        rows = anchor_np(seqs[anchor], K, keys, masks)
+        want = masks_to_bytes_np(rows, 5)  # ceil(34/8) = 5
+        got = decompress_file(
+            str(tmp_path / "idx" / "anchor" / anchor / "bitmap.1.gz"))
+        assert got == want.tobytes()
+        df = idx.query_bitmap(anchor, "chr1", 10, 50)
+        bits = np.unpackbits(rows.astype("<u4").view(np.uint8), axis=1,
+                             bitorder="little")[:, :n]
+        assert np.array_equal(df.to_numpy(), bits[10:50])
+    # non-anchor genomes have no anchor dir
+    assert not (tmp_path / "idx" / "anchor" / "g05").exists()
