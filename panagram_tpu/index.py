@@ -140,7 +140,9 @@ class Index:
         samples["id"] = np.arange(len(samples), dtype=int)
 
         if self.conf.anchor_genomes is None:
-            self.conf.anchor_genomes = list(samples["fasta"].dropna().index)
+            seqs = samples["fasta"].dropna()
+            fastq = seqs.str.endswith((".fastq", ".fastq.gz", ".fq", ".fq.gz"))
+            self.conf.anchor_genomes = list(seqs[~fastq].index)
         samples["anchor"] = samples.index.isin(self.conf.anchor_genomes)
 
         os.makedirs(self.prefix, exist_ok=True)
@@ -298,8 +300,15 @@ class Genome:
         self.fasta = fasta if not pd.isna(fasta) else None
         self.gff = gff if (gff is not None and not pd.isna(gff)) else None
         self.write_mode = write
+        # FASTQ read sets contribute presence bits to the dictionary
+        # (counted with min-count 2, reference Snakefile:88 -ci2) but have
+        # no assembly to anchor
+        is_fastq = self.fasta is not None and str(self.fasta).endswith(
+            (".fastq", ".fastq.gz", ".fq", ".fq.gz"))
         self.anchored = bool(anchor) if anchor is not None and not pd.isna(anchor) \
             else (self.fasta is not None)
+        if is_fastq:
+            self.anchored = False
         self.annotated = self.gff is not None
 
         self.prefix = os.path.join(idx.prefix, ANCHOR_DIR, name)

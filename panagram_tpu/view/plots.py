@@ -137,12 +137,8 @@ def whole_genome_plot(index, genome, max_bins=350) -> bytes:
     for ax, chrom in zip(axes[:, 0], chrs):
         bins = g.bitfreq_bins.loc[chrom]
         x = bins.index.to_numpy()
-        bottom = np.zeros(len(bins))
-        for occ in range(n + 1):
-            h = bins[occ].to_numpy()
-            ax.bar(x, h, bottom=bottom, width=np.diff(x, append=x[-1] * 2 - (x[-2] if len(x) > 1 else 0)),
-                   color=colors[occ], align="edge", linewidth=0)
-            bottom += h
+        ax.stackplot(x, bins.to_numpy().T, colors=colors, step="post",
+                     linewidth=0)
         ax.set_xlim(0, maxsize)
         ax.set_ylim(0, 1)
         ax.set_ylabel(chrom, fontsize=7, rotation=0, ha="right")
@@ -249,16 +245,14 @@ def chromosome_view(index, genome, chrom, start=None, end=None,
         axd.invert_yaxis()
     axd.axis("off")
 
-    # stacked occupancy counts per bin
+    # stacked occupancy fractions per bin (stackplot: one artist per
+    # occupancy level instead of nbins patches — interactive-speed at
+    # hundreds of bins x dozens of genomes)
     xs = pancount.columns.to_numpy() * binlen
-    bottom = np.zeros(len(xs))
     denom = pancount.sum(axis=0).to_numpy().astype(float)
     denom[denom == 0] = 1
-    for occ in range(n + 1):
-        h = pancount.loc[occ].to_numpy() / denom
-        ax1.bar(xs, h, bottom=bottom, width=binlen, align="edge",
-                color=colors[occ], linewidth=0)
-        bottom += h
+    fracs = pancount.to_numpy() / denom
+    ax1.stackplot(xs, fracs, colors=colors, step="post", linewidth=0)
     ax1.set_ylim(0, 1)
     ax1.set_ylabel("occupancy fraction")
     ax1.set_title(f"{genome} {chrom}:{start:,}-{end:,} (step {step})")
@@ -304,13 +298,8 @@ def chr_whole_plot(index, genome, chrom) -> bytes:
     bins = g.bitfreq_bins.loc[chrom]
     fig, ax = plt.subplots(figsize=(10, 2.4))
     x = bins.index.to_numpy()
-    width = np.diff(x, append=x[-1] + (x[1] - x[0] if len(x) > 1 else 1))
-    bottom = np.zeros(len(bins))
-    for occ in range(n + 1):
-        h = bins[occ].to_numpy()
-        ax.bar(x, h, bottom=bottom, width=width, align="edge",
-               color=colors[occ], linewidth=0)
-        bottom += h
+    ax.stackplot(x, bins.to_numpy().T, colors=colors, step="post",
+                 linewidth=0)
     ax.set_xlabel("position (bp)")
     ax.set_ylabel("fraction")
     ax.set_title(f"{genome} {chrom}: occupancy composition")

@@ -347,3 +347,32 @@ def test_many_genomes_multiword_masks(tmp_path, rng):
         assert np.array_equal(df.to_numpy(), bits[10:50])
     # non-anchor genomes have no anchor dir
     assert not (tmp_path / "idx" / "anchor" / "g05").exists()
+
+
+def test_fastq_sample_in_pipeline(tmp_path, rng):
+    """A FASTQ sample contributes its presence bit but is not anchored."""
+    import gzip as _gzip
+
+    base = random_seq(rng, 1200)
+    fa_dir = tmp_path / "fa"
+    fa_dir.mkdir()
+    (fa_dir / "asm.fa").write_text(f">chr1\n{base}\n")
+    fq = fa_dir / "reads.fq.gz"
+    with _gzip.open(fq, "wt") as f:
+        # 2x coverage of a 400bp slice of the assembly
+        for rep in range(2):
+            for s in range(0, 400, 100):
+                read = base[400 + s : 550 + s]
+                f.write(f"@r{rep}_{s}\n{read}\n+\n{'I' * len(read)}\n")
+    samples = tmp_path / "samples.tsv"
+    samples.write_text(
+        f"name\tfasta\nasm\t{fa_dir}/asm.fa\nreads\t{fq}\n")
+
+    idx = build_index(str(samples), prefix=str(tmp_path / "idx"), k=K)
+    assert idx.anchor_genomes == ["asm"]
+    assert not (tmp_path / "idx" / "anchor" / "reads").exists()
+    df = idx.query_bitmap("asm", "chr1", 0, 1100)
+    # positions covered 2x by reads have the reads bit set
+    assert df["reads"][500] == 1
+    assert df["reads"][0] == 0
+    assert (df["asm"] == 1).all()
