@@ -129,8 +129,7 @@ def main():
 
         total = 0
         for m, L, (combined, stats) in pending:
-            st = np.asarray(stats)
-            count = int(st[-1])
+            count = int(np.asarray(stats)[0])
             P = L - k + 1
             assert count <= capacity, "rle capacity overflow in bench"
             by, popc = unpack_rle2(_pow2_slice(combined, count), count, P,

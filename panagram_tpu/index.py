@@ -673,6 +673,7 @@ class Genome:
             anchor_chunk_fast,
             anchor_chunk_rle2,
             pack_bases_combined,
+            rle2_colsums,
             unpack_rle2,
         )
         from .ops.dictionary import PanKmerDict
@@ -739,11 +740,10 @@ class Genome:
                 pending.append((start, m, L, inbuf, out))
 
             for start, m, L, inbuf, (combined, stats) in pending:
-                st = np.asarray(stats)
-                count = int(st[-1])
+                count = int(np.asarray(stats)[0])
                 P = L - k + 1
                 if count > capacity:
-                    by_d, popc_d, _ = anchor_chunk_fast(
+                    by_d, popc_d, colsums_d = anchor_chunk_fast(
                         jnp.asarray(inbuf[: (L + 3) // 4]),
                         jnp.asarray(inbuf[(L + 3) // 4 :]),
                         t1, t2, L, k, bd.nbits, bd.nbits2, bd.cap,
@@ -751,11 +751,13 @@ class Genome:
                     )
                     by = np.asarray(by_d)[:m]
                     popc_np = np.asarray(popc_d)[:m].astype(np.int32)
+                    chunk_colsums = np.asarray(colsums_d)[:N]
                 else:
-                    by, popc_np = unpack_rle2(
-                        _pow2_slice(combined, count), count, P, nbytes)
+                    combined_host = _pow2_slice(combined, count)
+                    by, popc_np = unpack_rle2(combined_host, count, P, nbytes)
                     by = by[:m]
                     popc_np = popc_np[:m]
+                    chunk_colsums = rle2_colsums(combined_host, count, P, N)
 
                 writers[1].write(by.tobytes())
                 # global-phase lowres downsample (anchor.cpp:169-177)
@@ -769,7 +771,7 @@ class Genome:
                 )
                 hist += flat.reshape(nbins, N + 1)
 
-                paircount_sums += st[:N]
+                paircount_sums += chunk_colsums
                 if popc_full is not None:
                     popc_full[start : start + m] = popc_np
 

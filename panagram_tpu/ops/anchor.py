@@ -158,8 +158,9 @@ def anchor_chunk_rle2(inbuf: jax.Array, table: jax.Array, table2: jax.Array,
     N-mask, from pack_bases_combined) and ONE u8 output buffer per chunk.
 
     Output row i (i < count): [pos u32 LE | popc u16 LE | mask bytes].
-    Returns (combined u8 [capacity, 6 + nbytes], stats i64 [32*nwords + 1]).
-    Host side: unpack_rle2 / rle_expand reconstruct full-resolution rows.
+    Returns (combined u8 [capacity, 6 + nbytes], count i64 [1]).
+    Host side: unpack_rle2 reconstructs full-resolution rows and
+    rle2_colsums the per-genome totals.
     """
     from .codec import unpack_bases
     from .lookup import bucket_query
@@ -192,12 +193,10 @@ def anchor_chunk_rle2(inbuf: jax.Array, table: jax.Array, table2: jax.Array,
     out = jnp.zeros((capacity + 1, 6 + nbytes), jnp.uint8).at[slots].set(
         payload, mode="drop")
 
-    sums = []
-    for g in range(32 * nwords):
-        w, bit = divmod(g, 32)
-        sums.append(jnp.sum(((rows[:, w] >> np.uint32(bit)) & 1).astype(jnp.int64)))
-    stats = jnp.concatenate([jnp.stack(sums),
-                             count[None].astype(jnp.int64)])
+    # no device-side column sums: the host derives exact per-genome totals
+    # from the RLE rows x run lengths (rle2_colsums below) — dropping 32W
+    # reduction passes over the full row array
+    stats = count[None].astype(jnp.int64)
     return out[:capacity], stats
 
 
@@ -221,6 +220,19 @@ def unpack_rle2(combined_host: np.ndarray, count: int, total: int,
     by = rowsc[:, 6:]
     reps = np.diff(pos, append=total)
     return np.repeat(by, reps, axis=0), np.repeat(popc, reps)
+
+
+def rle2_colsums(combined_host: np.ndarray, count: int, total: int,
+                 ngenomes: int) -> np.ndarray:
+    """Exact per-genome presence totals from RLE rows x run lengths —
+    host-side replacement for the device column-sum reductions (the
+    paircount_sums of reference index.py:1051).  `total` must be the REAL
+    position count (padding rows are zero anyway)."""
+    rowsc = combined_host[:count]
+    pos = rowsc[:, :4].copy().view("<u4").reshape(-1).astype(np.int64)
+    reps = np.diff(pos, append=total).clip(min=0)
+    bits = np.unpackbits(rowsc[:, 6:], axis=1, bitorder="little")[:, :ngenomes]
+    return (bits.astype(np.int64) * reps[:, None]).sum(axis=0)
 
 
 def _pow2_slice(arr, count: int):

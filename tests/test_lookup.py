@@ -179,13 +179,16 @@ def test_anchor_chunk_rle2(rng):
         jnp.asarray(inbuf), t1, t2, L, K, bd.nbits, bd.nbits2, bd.cap,
         bd.nwords, nbytes, P,
     )
-    count = int(stats[-1])
-    by, popc = unpack_rle2(_pow2_slice(out, count), count, P, nbytes)
+    count = int(stats[0])
+    combined_host = _pow2_slice(out, count)
+    by, popc = unpack_rle2(combined_host, count, P, nbytes)
 
     want_rows = anchor_np(seq, K, d.keys, d.masks)
     assert np.array_equal(by, masks_to_bytes_np(want_rows, nbytes))
     assert np.array_equal(popc, popcount_np(want_rows))
+    from panagram_tpu.ops.anchor import rle2_colsums
+
     bits = np.unpackbits(want_rows.astype("<u4").view(np.uint8), axis=1,
                          bitorder="little")
-    assert np.array_equal(np.asarray(stats)[:ngenomes],
+    assert np.array_equal(rle2_colsums(combined_host, count, P, ngenomes),
                           bits[:, :ngenomes].sum(axis=0))
