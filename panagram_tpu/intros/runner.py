@@ -161,6 +161,10 @@ def main(args):
     (heatmap | bed2txt | simulate), mirroring reference __main__.py:109-151."""
     target = args.target
     extra = [a for a in (args.extra or []) if a != "--"]
+    # argparse.REMAINDER swallows flags placed after the positional target,
+    # so accept `intros config.yaml --sweep` as well
+    sweep = getattr(args, "sweep", False) or "--sweep" in extra
+    extra = [a for a in extra if a != "--sweep"]
 
     if target == "heatmap":
         from . import heatmap
@@ -176,4 +180,4 @@ def main(args):
         simulate.main(extra)
     else:
         cfg = parse_config(target)
-        run_introgression_pipeline(cfg, sweep=getattr(args, "sweep", False))
+        run_introgression_pipeline(cfg, sweep=sweep)
