@@ -49,8 +49,9 @@ def main():
         anchor_chunk_fast,
         anchor_chunk_rle2,
         pack_bases_combined,
+        collect_rle,
+        dispatch_rle_prefix,
         unpack_rle2,
-        _pow2_slice,
     )
     from panagram_tpu.ops.codec import pack_bases_np
     from panagram_tpu.ops.lookup import BucketedDict
@@ -121,19 +122,20 @@ def main():
             buf[: m + k - 1] = anchor_codes[start : start + m + k - 1]
             inbuf, L = pack_bases_combined(buf)
             ib = jnp.asarray(inbuf)
-            out = anchor_chunk_rle2(
+            combined, stats = anchor_chunk_rle2(
                 ib, t1, t2, L, k, bd.nbits, bd.nbits2, bd.cap,
                 bd.nwords, nbytes, capacity,
             )
-            pending.append((m, L, out))
+            prefix = dispatch_rle_prefix(combined)
+            pending.append((m, L, combined, prefix, stats))
 
         total = 0
-        for m, L, (combined, stats) in pending:
+        for m, L, combined, prefix, stats in pending:
             count = int(np.asarray(stats)[0])
             P = L - k + 1
             assert count <= capacity, "rle capacity overflow in bench"
-            by, popc = unpack_rle2(_pow2_slice(combined, count), count, P,
-                                   nbytes)
+            by, popc = unpack_rle2(collect_rle(prefix, combined, count),
+                                   count, P, nbytes)
             by = by[:m]
             popc = popc[:m]
             total += m

@@ -669,9 +669,10 @@ class Genome:
         import jax.numpy as jnp
 
         from .ops.anchor import (
-            _pow2_slice,
             anchor_chunk_fast,
             anchor_chunk_rle2,
+            collect_rle,
+            dispatch_rle_prefix,
             pack_bases_combined,
             rle2_colsums,
             unpack_rle2,
@@ -733,13 +734,14 @@ class Genome:
                 buf[:] = 255
                 buf[: m + k - 1] = codes[start : start + m + k - 1]
                 inbuf, L = pack_bases_combined(buf)
-                out = anchor_chunk_rle2(
+                combined, stats = anchor_chunk_rle2(
                     jnp.asarray(inbuf), t1, t2, L, k, bd.nbits, bd.nbits2,
                     bd.cap, bd.nwords, nbytes, capacity,
                 )
-                pending.append((start, m, L, inbuf, out))
+                prefix = dispatch_rle_prefix(combined)
+                pending.append((start, m, L, inbuf, combined, prefix, stats))
 
-            for start, m, L, inbuf, (combined, stats) in pending:
+            for start, m, L, inbuf, combined, prefix, stats in pending:
                 count = int(np.asarray(stats)[0])
                 P = L - k + 1
                 if count > capacity:
@@ -753,7 +755,7 @@ class Genome:
                     popc_np = np.asarray(popc_d)[:m].astype(np.int32)
                     chunk_colsums = np.asarray(colsums_d)[:N]
                 else:
-                    combined_host = _pow2_slice(combined, count)
+                    combined_host = collect_rle(prefix, combined, count)
                     by, popc_np = unpack_rle2(combined_host, count, P, nbytes)
                     by = by[:m]
                     popc_np = popc_np[:m]

@@ -235,6 +235,27 @@ def rle2_colsums(combined_host: np.ndarray, count: int, total: int,
     return (bits.astype(np.int64) * reps[:, None]).sum(axis=0)
 
 
+RLE_PREFIX = 1 << 17  # rows speculatively transferred with the kernel
+
+
+def dispatch_rle_prefix(combined: jax.Array):
+    """Queue a fixed-size prefix transfer of the RLE buffer immediately
+    after the kernel dispatch: by the time the host learns `count` (the
+    stats sync), the typical-case payload is already on its way — one
+    serialized round trip less per chunk.  Falls back to _pow2_slice when
+    count exceeds the prefix."""
+    n = min(RLE_PREFIX, combined.shape[0])
+    return combined[:n]
+
+
+def collect_rle(prefix: jax.Array, combined: jax.Array, count: int):
+    """Host-side: materialise >= count RLE rows using the speculative
+    prefix when it suffices."""
+    if count <= prefix.shape[0]:
+        return np.asarray(prefix)[:count]
+    return _pow2_slice(combined, count)
+
+
 def _pow2_slice(arr, count: int):
     """Device-slice to the next power of two >= count: bounds the number of
     distinct compiled slice programs to log2(capacity) instead of one per

@@ -142,13 +142,18 @@ def bucket_query(canon: jax.Array, table: jax.Array, table2: jax.Array,
     for absent or N-containing k-mers."""
     m = canon.astype(jnp.uint64) if pre_mixed else mix64(canon)
 
-    def probe(tab, mm, bits):
+    def probe(tab, mm, bits, bucket_mask=None):
         # mm is the value the table level was laid out with; empty slots are
         # hi=lo=0xFFFFFFFF, so exclude the (single, astronomically unlikely)
         # all-ones value from matching.
         qhi = (mm >> U64(32)).astype(jnp.uint32)
         qlo = (mm & U64(0xFFFFFFFF)).astype(jnp.uint32)
         bucket = (mm >> U64(64 - bits)).astype(jnp.int32)
+        if bucket_mask is not None:
+            # level-1 hits re-read bucket 0: the fetch stays in cache instead
+            # of a random HBM row, so the overflow level costs ~nothing for
+            # the ~100% of queries resolved at level 1
+            bucket = jnp.where(bucket_mask, jnp.int32(0), bucket)
         rows = jnp.take(tab, bucket, axis=0)           # [Q, cap*(2+W)] wide gather
         rows = rows.reshape(rows.shape[0], cap, 2 + nwords)
         hit = (rows[:, :, 0] == qhi[:, None]) & (rows[:, :, 1] == qlo[:, None])
@@ -157,5 +162,5 @@ def bucket_query(canon: jax.Array, table: jax.Array, table2: jax.Array,
         return sel.sum(axis=1, dtype=jnp.uint32), hit.any(axis=1)
 
     out1, hit1 = probe(table, m, nbits)
-    out2, _ = probe(table2, mix64(m), nbits2)
+    out2, _ = probe(table2, mix64(m), nbits2, bucket_mask=hit1)
     return jnp.where(hit1[:, None], out1, out2)
