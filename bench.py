@@ -99,9 +99,9 @@ def main():
     _log(f"bench: dict {len(d)} keys x {d.nwords} words")
 
     bd = BucketedDict.build(d.keys, d.masks, ngenomes, k)
-    t1, t2 = bd.device_arrays()
+    (t1,) = bd.device_arrays()
     nbytes = d.nbytes_row
-    _log(f"bench: bucketed {bd.table.shape} + overflow {bd.table2.shape}")
+    _log(f"bench: bucketed {bd.table.shape} stride {bd.stride}")
 
     # anchor sequence: genome 0 tiled to seq_len
     reps = -(-seq_len // dict_genome_len)
@@ -123,7 +123,7 @@ def main():
             inbuf, L = pack_bases_combined(buf)
             ib = jnp.asarray(inbuf)
             combined, stats = anchor_chunk_rle2(
-                ib, t1, t2, L, k, bd.nbits, bd.nbits2, bd.cap,
+                ib, t1, L, k, bd.nbits, bd.cap,
                 bd.nwords, nbytes, capacity,
             )
             prefix = dispatch_rle_prefix(combined)

@@ -692,7 +692,7 @@ class Genome:
         bd = bucketed if bucketed is not None else BucketedDict.build(
             pan_dict.keys, pan_dict.masks, N, k,
             mixed=(getattr(pan_dict, "key_space", "canon") == "mixed"))
-        t1, t2 = bd.device_arrays()
+        (t1,) = bd.device_arrays()
 
         if self.chrs is None:
             self.init_chrs()
@@ -735,7 +735,7 @@ class Genome:
                 buf[: m + k - 1] = codes[start : start + m + k - 1]
                 inbuf, L = pack_bases_combined(buf)
                 combined, stats = anchor_chunk_rle2(
-                    jnp.asarray(inbuf), t1, t2, L, k, bd.nbits, bd.nbits2,
+                    jnp.asarray(inbuf), t1, L, k, bd.nbits,
                     bd.cap, bd.nwords, nbytes, capacity,
                 )
                 prefix = dispatch_rle_prefix(combined)
@@ -748,7 +748,7 @@ class Genome:
                     by_d, popc_d, colsums_d = anchor_chunk_fast(
                         jnp.asarray(inbuf[: (L + 3) // 4]),
                         jnp.asarray(inbuf[(L + 3) // 4 :]),
-                        t1, t2, L, k, bd.nbits, bd.nbits2, bd.cap,
+                        t1, L, k, bd.nbits, bd.cap,
                         bd.nwords, nbytes,
                     )
                     by = np.asarray(by_d)[:m]

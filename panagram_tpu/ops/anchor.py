@@ -78,10 +78,10 @@ def occupancy_histogram(popc: jax.Array, binlen: int, nbins: int, ngenomes: int)
     return hist[:-1].reshape(nbins, ngenomes + 1)
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
 def anchor_chunk_fast(packed: jax.Array, nmask: jax.Array,
-                      table: jax.Array, table2: jax.Array,
-                      L: int, k: int, nbits: int, nbits2: int, cap: int,
+                      table: jax.Array,
+                      L: int, k: int, nbits: int, cap: int,
                       nwords: int, nbytes: int):
     """Fused fast path: packed 2-bit codes -> bitmap bytes (device-sliced to
     nbytes) + popcounts + per-genome totals, using the bucketed-hash lookup
@@ -94,17 +94,17 @@ def anchor_chunk_fast(packed: jax.Array, nmask: jax.Array,
 
     codes = unpack_bases(packed, nmask, L)
     canon, _ = pack_kmers(codes, k)
-    rows = bucket_query(canon, table, table2, nbits, nbits2, cap, nwords)
+    rows = bucket_query(canon, table, nbits, cap, nwords)
     popc = mask_popcount(rows)
     by = masks_to_bytes(rows)[:, :nbytes]
     colsums = _colsum_list(rows, 32 * nwords)
     return by, popc, colsums
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9))
 def anchor_chunk_rle(packed: jax.Array, nmask: jax.Array,
-                     table: jax.Array, table2: jax.Array,
-                     L: int, k: int, nbits: int, nbits2: int, cap: int,
+                     table: jax.Array,
+                     L: int, k: int, nbits: int, cap: int,
                      nwords: int, nbytes: int, capacity: int):
     """Fast path with run-length-compacted output.
 
@@ -122,7 +122,7 @@ def anchor_chunk_rle(packed: jax.Array, nmask: jax.Array,
 
     codes = unpack_bases(packed, nmask, L)
     canon, _ = pack_kmers(codes, k)
-    rows = bucket_query(canon, table, table2, nbits, nbits2, cap, nwords)
+    rows = bucket_query(canon, table, nbits, cap, nwords)
     P = rows.shape[0]
     popc = mask_popcount(rows)
     by = masks_to_bytes(rows)[:, :nbytes]
@@ -150,9 +150,9 @@ def anchor_chunk_rle(packed: jax.Array, nmask: jax.Array,
             stats)
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
-def anchor_chunk_rle2(inbuf: jax.Array, table: jax.Array, table2: jax.Array,
-                      L: int, k: int, nbits: int, nbits2: int, cap: int,
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
+def anchor_chunk_rle2(inbuf: jax.Array, table: jax.Array,
+                      L: int, k: int, nbits: int, cap: int,
                       nwords: int, nbytes: int, capacity: int):
     """Transfer-optimal fast path: ONE u8 input buffer (packed bases ++
     N-mask, from pack_bases_combined) and ONE u8 output buffer per chunk.
@@ -170,7 +170,7 @@ def anchor_chunk_rle2(inbuf: jax.Array, table: jax.Array, table2: jax.Array,
     nmask = jax.lax.slice(inbuf, (n4,), (inbuf.shape[0],))
     codes = unpack_bases(packed, nmask, L)
     canon, _ = pack_kmers(codes, k)
-    rows = bucket_query(canon, table, table2, nbits, nbits2, cap, nwords)
+    rows = bucket_query(canon, table, nbits, cap, nwords)
     P = rows.shape[0]
     popc = mask_popcount(rows)
     by = masks_to_bytes(rows)[:, :nbytes]

@@ -6,17 +6,21 @@ SURVEY §7.4.6 "sorted-array binary search has poor locality — prefer
 bucketed/hashed layout with one HBM read per probe").  XLA's searchsorted
 lowers to ~27 *dependent* narrow gathers; on TPU that is the dominant cost.
 
-This module replaces it with exactly the recommended design:
+This module implements exactly the recommended design, tuned to the
+measured TPU gather characteristics:
 
-* keys are passed through an invertible 64-bit mix (splitmix64 finalizer),
-  so their high bits are uniform;
-* the dictionary is laid out as 2^b buckets of `cap` slots, each slot
-  holding (key_hi, key_lo, mask words) as consecutive u32s — one bucket row
-  is ONE wide HBM gather;
-* a query computes its bucket elementwise, gathers the row, and compares
-  against all slots in parallel (VPU);  keys that overflowed their bucket
-  live in a second, re-hashed bucket table (two wide gathers total, no
-  data-dependent loops).
+* keys pass through an invertible 64-bit mix (splitmix64 finalizer), so
+  their high bits are uniform;
+* the dictionary is ONE table of 2^b buckets, each a LANE-ALIGNED row of
+  `stride` u32s (64 or a multiple — measured 2.5-3x faster to gather than
+  odd widths) holding `cap` slots of (key_hi, key_lo, mask words);
+* a query computes its bucket elementwise, gathers the row — a single
+  wide HBM gather per probe — and compares against all slots in parallel
+  (VPU);
+* there is NO overflow structure: the builder retries with more buckets
+  until every bucket fits its keys (splitmix-uniform loads make the retry
+  loop terminate immediately in practice), so one gather resolves every
+  query.  The cost is ~3x the raw key+mask bytes in padding.
 """
 
 from __future__ import annotations
@@ -56,54 +60,23 @@ def mix64(x: jax.Array) -> jax.Array:
     return x
 
 
-def _layout(mixed: np.ndarray, masks: np.ndarray, nbits: int, cap: int):
-    """Scatter (mixed_key, mask) rows into a [2^b, cap*(2+W)] u32 table.
-    Returns (table, overflow_mixed, overflow_masks)."""
-    B = 1 << nbits
-    W = masks.shape[1]
-    stride = 2 + W
-    bucket = (mixed >> U64(64 - nbits)).astype(np.int64)
-    order = np.argsort(bucket, kind="stable")
-    b_sorted = bucket[order]
-    counts = np.bincount(b_sorted, minlength=B)
-    offsets = np.concatenate([[0], np.cumsum(counts)])[:-1]
-    slot = np.arange(len(mixed)) - offsets[b_sorted]
-
-    table = np.full((B, cap * stride), _SENTINEL32, np.uint32)
-    ok = slot < cap
-    rows = np.empty((len(mixed), stride), np.uint32)
-    m_sorted = mixed[order]
-    rows[:, 0] = (m_sorted >> U64(32)).astype(np.uint32)
-    rows[:, 1] = (m_sorted & U64(0xFFFFFFFF)).astype(np.uint32)
-    rows[:, 2:] = masks[order]
-    flat = table.reshape(B, cap, stride)
-    flat[b_sorted[ok], slot[ok]] = rows[ok]
-
-    ov = ~ok
-    return table, m_sorted[ov], masks[order][ov]
-
-
 @dataclasses.dataclass
 class BucketedDict:
-    """Two-level bucketed hash layout of a pan-kmer dictionary."""
+    """Single-probe bucketed hash layout of a pan-kmer dictionary."""
 
-    table: np.ndarray       # u32 [2^b, cap*(2+W)]
-    table2: np.ndarray      # u32 [2^b2, cap2*(2+W)] (overflow, rehash)
+    table: np.ndarray       # u32 [2^b, stride]
     nbits: int
-    nbits2: int
     cap: int
-    cap2: int
+    stride: int
     ngenomes: int
     k: int
     nwords: int
 
     MEAN_LOAD = 6
-    LEVEL2_MEAN = 4
-    CAP = 12
 
     @classmethod
-    def build(cls, keys: np.ndarray, masks: np.ndarray, ngenomes: int, k: int,
-              mixed: bool = False) -> "BucketedDict":
+    def build(cls, keys: np.ndarray, masks: np.ndarray, ngenomes: int,
+              k: int, mixed: bool = False) -> "BucketedDict":
         """keys: distinct u64 canonical k-mers (any order); masks u32 [D, W].
         Set mixed=True when keys are already splitmix64-mixed."""
         D = max(len(keys), 1)
@@ -113,54 +86,71 @@ class BucketedDict:
         if np.any(m == U64(0xFFFFFFFFFFFFFFFF)):
             raise RuntimeError("key mixes to the reserved all-ones value")
 
-        nbits = max(int(np.ceil(np.log2(max(D / cls.MEAN_LOAD, 1)))), 2)
-        table, ov_m, ov_masks = _layout(m, masks, nbits, cls.CAP)
+        slot_w = 2 + W
+        # lane-aligned stride: smallest multiple of 64 u32 that fits a
+        # safe capacity (>= 3x mean load so overflow is essentially never)
+        stride = 64
+        while stride // slot_w < 3 * cls.MEAN_LOAD:
+            stride += 64
+        cap = stride // slot_w
 
-        # overflow level: rehash (one more mix round) into its own table
-        O = max(len(ov_m), 1)
-        nbits2 = max(int(np.ceil(np.log2(max(O / cls.LEVEL2_MEAN, 1)))), 2)
-        table2, ov2_m, _ = _layout(mix64_np(ov_m), ov_masks, nbits2, cls.CAP)
-        if len(ov2_m):
-            raise RuntimeError(
-                f"bucketed dict: {len(ov2_m)} keys overflowed both levels; "
-                "increase CAP"
-            )
-        return cls(table=table, table2=table2, nbits=nbits, nbits2=nbits2,
-                   cap=cls.CAP, cap2=cls.CAP, ngenomes=ngenomes, k=k,
-                   nwords=W)
+        nbits = max(int(np.ceil(np.log2(max(D / cls.MEAN_LOAD, 1)))), 2)
+        for attempt in range(8):
+            table, overflow = cls._layout(m, masks, nbits, cap, stride)
+            if overflow == 0:
+                return cls(table=table, nbits=nbits, cap=cap, stride=stride,
+                           ngenomes=ngenomes, k=k, nwords=W)
+            nbits += 1  # halve the mean load and retry
+        raise RuntimeError("bucketed dict: bucket overflow persisted after "
+                           "8 doublings — pathological key distribution")
+
+    @staticmethod
+    def _layout(mixed, masks, nbits, cap, stride):
+        B = 1 << nbits
+        W = masks.shape[1]
+        slot_w = 2 + W
+        bucket = (mixed >> U64(64 - nbits)).astype(np.int64)
+        order = np.argsort(bucket, kind="stable")
+        b_sorted = bucket[order]
+        counts = np.bincount(b_sorted, minlength=B)
+        overflow = int(np.maximum(counts - cap, 0).sum())
+        if overflow:
+            return None, overflow
+        offsets = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        slot = np.arange(len(mixed)) - offsets[b_sorted]
+
+        table = np.full((B, stride), _SENTINEL32, np.uint32)
+        m_sorted = mixed[order]
+        rows = np.empty((len(mixed), slot_w), np.uint32)
+        rows[:, 0] = (m_sorted >> U64(32)).astype(np.uint32)
+        rows[:, 1] = (m_sorted & U64(0xFFFFFFFF)).astype(np.uint32)
+        rows[:, 2:] = masks[order]
+        view = table[:, : cap * slot_w].reshape(B, cap, slot_w)
+        view[b_sorted, slot] = rows
+        return table, 0
 
     def device_arrays(self):
-        return jnp.asarray(self.table), jnp.asarray(self.table2)
+        return (jnp.asarray(self.table),)
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
-def bucket_query(canon: jax.Array, table: jax.Array, table2: jax.Array,
-                 nbits: int, nbits2: int, cap: int, nwords: int,
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def bucket_query(canon: jax.Array, table: jax.Array,
+                 nbits: int, cap: int, nwords: int,
                  pre_mixed: bool = False):
-    """canon u64 [Q] -> mask rows u32 [Q, W].  Misses (including SENTINEL /
-    invalid windows) return zero masks, matching KMC's counter-0 behaviour
-    for absent or N-containing k-mers."""
+    """canon u64 [Q] -> mask rows u32 [Q, W] in ONE wide gather.  Misses
+    (including SENTINEL / invalid windows) return zero masks, matching
+    KMC's counter-0 behaviour for absent or N-containing k-mers."""
     m = canon.astype(jnp.uint64) if pre_mixed else mix64(canon)
+    qhi = (m >> U64(32)).astype(jnp.uint32)
+    qlo = (m & U64(0xFFFFFFFF)).astype(jnp.uint32)
+    bucket = (m >> U64(64 - nbits)).astype(jnp.int32)
 
-    def probe(tab, mm, bits, bucket_mask=None):
-        # mm is the value the table level was laid out with; empty slots are
-        # hi=lo=0xFFFFFFFF, so exclude the (single, astronomically unlikely)
-        # all-ones value from matching.
-        qhi = (mm >> U64(32)).astype(jnp.uint32)
-        qlo = (mm & U64(0xFFFFFFFF)).astype(jnp.uint32)
-        bucket = (mm >> U64(64 - bits)).astype(jnp.int32)
-        if bucket_mask is not None:
-            # level-1 hits re-read bucket 0: the fetch stays in cache instead
-            # of a random HBM row, so the overflow level costs ~nothing for
-            # the ~100% of queries resolved at level 1
-            bucket = jnp.where(bucket_mask, jnp.int32(0), bucket)
-        rows = jnp.take(tab, bucket, axis=0)           # [Q, cap*(2+W)] wide gather
-        rows = rows.reshape(rows.shape[0], cap, 2 + nwords)
-        hit = (rows[:, :, 0] == qhi[:, None]) & (rows[:, :, 1] == qlo[:, None])
-        hit = hit & (mm != U64(0xFFFFFFFFFFFFFFFF))[:, None]
-        sel = jnp.where(hit[:, :, None], rows[:, :, 2:], jnp.uint32(0))
-        return sel.sum(axis=1, dtype=jnp.uint32), hit.any(axis=1)
-
-    out1, hit1 = probe(table, m, nbits)
-    out2, _ = probe(table2, mix64(m), nbits2, bucket_mask=hit1)
-    return jnp.where(hit1[:, None], out1, out2)
+    rows = jnp.take(table, bucket, axis=0)            # [Q, stride]
+    slot_w = 2 + nwords
+    rows = rows[:, : cap * slot_w].reshape(rows.shape[0], cap, slot_w)
+    hit = (rows[:, :, 0] == qhi[:, None]) & (rows[:, :, 1] == qlo[:, None])
+    # empty slots are hi=lo=0xFFFFFFFF; exclude the (single, astronomically
+    # unlikely) all-ones mixed value from matching
+    hit = hit & (m != U64(0xFFFFFFFFFFFFFFFF))[:, None]
+    sel = jnp.where(hit[:, :, None], rows[:, :, 2:], jnp.uint32(0))
+    return sel.sum(axis=1, dtype=jnp.uint32)

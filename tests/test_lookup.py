@@ -24,7 +24,6 @@ def test_mix64_invertible_and_consistent(rng):
     m_dev = np.asarray(mix64(jnp.asarray(x)))
     assert np.array_equal(m_np, m_dev)
     assert len(np.unique(m_np)) == len(np.unique(x))
-    # high bits should be roughly uniform after mixing
     top = (m_np >> np.uint64(60)).astype(int)
     assert len(np.unique(top)) == 16
 
@@ -50,19 +49,20 @@ def test_bucket_query_matches_oracle(rng, ngenomes):
     sets = [genome_kmer_set([s], K) for s in seqs]
     d = build_dictionary(sets, K)
     bd = BucketedDict.build(d.keys, d.masks, ngenomes, K)
+    assert bd.stride % 64 == 0
 
     seq = seqs[0]
     want = anchor_np(seq, K, d.keys, d.masks)
 
     canon, _ = pack_kmers(jnp.asarray(seq_to_codes(seq)), K)
-    t1, t2 = bd.device_arrays()
-    rows = np.asarray(bucket_query(canon, t1, t2, bd.nbits, bd.nbits2,
-                                   bd.cap, bd.nwords))
+    (t1,) = bd.device_arrays()
+    rows = np.asarray(bucket_query(canon, t1, bd.nbits, bd.cap, bd.nwords))
     assert np.array_equal(rows, want)
 
 
-def test_bucket_overflow_level(rng):
-    """Force heavy bucket overflow by using a tiny table."""
+def test_bucket_build_retries_until_fit(rng):
+    """An overloaded initial layout must grow nbits until every bucket
+    fits (single-probe guarantee), and all keys stay findable."""
     keys = np.unique(rng.integers(0, 1 << 62, 5000, dtype=np.uint64))
     masks = rng.integers(1, 1 << 31, (len(keys), 1)).astype(np.uint32)
 
@@ -70,17 +70,16 @@ def test_bucket_overflow_level(rng):
 
     old = BucketedDict.MEAN_LOAD
     try:
-        BucketedDict.MEAN_LOAD = 30  # overloaded level 1 -> heavy overflow
+        BucketedDict.MEAN_LOAD = 2000  # absurd target load -> forces retries
         bd = BucketedDict.build(keys, masks, 32, 21)
     finally:
         BucketedDict.MEAN_LOAD = old
-    t1, t2 = bd.device_arrays()
-    # query all stored keys plus some misses
+    (t1,) = bd.device_arrays()
     miss = rng.integers(0, 1 << 62, 500, dtype=np.uint64)
     miss = miss[~np.isin(miss, keys)]
     q = np.concatenate([keys, miss])
-    rows = np.asarray(bucket_query(jnp.asarray(q), t1, t2, bd.nbits,
-                                   bd.nbits2, bd.cap, bd.nwords))
+    rows = np.asarray(bucket_query(jnp.asarray(q), t1, bd.nbits, bd.cap,
+                                   bd.nwords))
     assert np.array_equal(rows[: len(keys), 0], masks[:, 0])
     assert (rows[len(keys):] == 0).all()
 
@@ -95,15 +94,15 @@ def test_anchor_chunk_fast(rng):
     sets = [genome_kmer_set([s], K) for s in seqs]
     d = build_dictionary(sets, K)
     bd = BucketedDict.build(d.keys, d.masks, ngenomes, K)
-    t1, t2 = bd.device_arrays()
+    (t1,) = bd.device_arrays()
 
     seq = seqs[1]
     codes = seq_to_codes(seq)
     packed, nmask, L = pack_bases_np(codes)
     nbytes = (ngenomes + 7) // 8
     by, popc, colsums = anchor_chunk_fast(
-        jnp.asarray(packed), jnp.asarray(nmask), t1, t2,
-        L, K, bd.nbits, bd.nbits2, bd.cap, bd.nwords, nbytes,
+        jnp.asarray(packed), jnp.asarray(nmask), t1,
+        L, K, bd.nbits, bd.cap, bd.nwords, nbytes,
     )
     want_rows = anchor_np(seq, K, d.keys, d.masks)
     assert np.array_equal(np.asarray(by), masks_to_bytes_np(want_rows, nbytes))
@@ -117,14 +116,14 @@ def test_anchor_chunk_fast(rng):
 def test_anchor_chunk_rle(rng):
     import jax.numpy as jnp
 
-    from panagram_tpu.ops.anchor import anchor_chunk_fast, anchor_chunk_rle, rle_expand
+    from panagram_tpu.ops.anchor import anchor_chunk_rle, rle_expand
 
     ngenomes = 6
     seqs = [random_seq(rng, 1500, n_frac=0.02) for _ in range(ngenomes)]
     sets = [genome_kmer_set([s], K) for s in seqs]
     d = build_dictionary(sets, K)
     bd = BucketedDict.build(d.keys, d.masks, ngenomes, K)
-    t1, t2 = bd.device_arrays()
+    (t1,) = bd.device_arrays()
     nbytes = (ngenomes + 7) // 8
 
     seq = seqs[2]
@@ -132,8 +131,8 @@ def test_anchor_chunk_rle(rng):
     packed, nmask, L = pack_bases_np(codes)
     P = L - K + 1
     pos, byc, popcc, stats = anchor_chunk_rle(
-        jnp.asarray(packed), jnp.asarray(nmask), t1, t2,
-        L, K, bd.nbits, bd.nbits2, bd.cap, bd.nwords, nbytes, P,
+        jnp.asarray(packed), jnp.asarray(nmask), t1,
+        L, K, bd.nbits, bd.cap, bd.nwords, nbytes, P,
     )
     count = int(stats[-1])
     assert count <= P
@@ -144,11 +143,9 @@ def test_anchor_chunk_rle(rng):
     assert np.array_equal(by, masks_to_bytes_np(want_rows, nbytes))
     assert np.array_equal(popc, popcount_np(want_rows))
 
-    # capacity overflow: tiny capacity -> count exceeds it, caller must
-    # detect and fall back
     _, _, _, stats2 = anchor_chunk_rle(
-        jnp.asarray(packed), jnp.asarray(nmask), t1, t2,
-        L, K, bd.nbits, bd.nbits2, bd.cap, bd.nwords, nbytes, 4,
+        jnp.asarray(packed), jnp.asarray(nmask), t1,
+        L, K, bd.nbits, bd.cap, bd.nwords, nbytes, 4,
     )
     assert int(stats2[-1]) == count
 
@@ -157,10 +154,11 @@ def test_anchor_chunk_rle2(rng):
     import jax.numpy as jnp
 
     from panagram_tpu.ops.anchor import (
+        _pow2_slice,
         anchor_chunk_rle2,
         pack_bases_combined,
+        rle2_colsums,
         unpack_rle2,
-        _pow2_slice,
     )
 
     ngenomes = 9
@@ -168,7 +166,7 @@ def test_anchor_chunk_rle2(rng):
     sets = [genome_kmer_set([s], K) for s in seqs]
     d = build_dictionary(sets, K)
     bd = BucketedDict.build(d.keys, d.masks, ngenomes, K)
-    t1, t2 = bd.device_arrays()
+    (t1,) = bd.device_arrays()
     nbytes = (ngenomes + 7) // 8
 
     seq = seqs[0]
@@ -176,7 +174,7 @@ def test_anchor_chunk_rle2(rng):
     inbuf, L = pack_bases_combined(codes)
     P = L - K + 1
     out, stats = anchor_chunk_rle2(
-        jnp.asarray(inbuf), t1, t2, L, K, bd.nbits, bd.nbits2, bd.cap,
+        jnp.asarray(inbuf), t1, L, K, bd.nbits, bd.cap,
         bd.nwords, nbytes, P,
     )
     count = int(stats[0])
@@ -186,8 +184,6 @@ def test_anchor_chunk_rle2(rng):
     want_rows = anchor_np(seq, K, d.keys, d.masks)
     assert np.array_equal(by, masks_to_bytes_np(want_rows, nbytes))
     assert np.array_equal(popc, popcount_np(want_rows))
-    from panagram_tpu.ops.anchor import rle2_colsums
-
     bits = np.unpackbits(want_rows.astype("<u4").view(np.uint8), axis=1,
                          bitorder="little")
     assert np.array_equal(rle2_colsums(combined_host, count, P, ngenomes),
