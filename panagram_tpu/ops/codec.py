@@ -41,32 +41,67 @@ def pack_kmers(codes: jax.Array, k: int):
     Returns (canon: u64 [L-k+1], valid: bool [L-k+1]).  Invalid windows get
     canon == SENTINEL so they never match a dictionary key.
 
-    Implemented as a fori_loop of k shifted accumulations (not an unrolled
-    Python loop): the rolled form keeps the HLO small, which matters for
-    compile time on remote-compile TPU backends, while staying memory-bound
-    at runtime.
+    Implemented as a fori_loop over base PAIRS accumulating into native u32
+    (hi, lo) halves: half the iterations of the per-base loop and no
+    emulated 64-bit shifts inside it (TPU emulates u64 with 32-bit pairs).
+    The rolled loop keeps the HLO small for remote-compile backends.
     """
     n = codes.shape[0] - k + 1
-    c64 = codes.astype(jnp.uint64)
-    three = jnp.uint64(3)
+    c32 = codes.astype(jnp.uint32)
+    three = jnp.uint32(3)
 
-    def body(i, state):
-        fwd, rc, valid = state
-        ci = jax.lax.dynamic_slice(c64, (i,), (n,))
-        iu = i.astype(jnp.uint64)
-        fwd = fwd | ((ci & three) << (jnp.uint64(2 * (k - 1)) - 2 * iu))
-        rc = rc | (((three - ci) & three) << (2 * iu))
-        valid = valid & (ci < 4)
-        return fwd, rc, valid
+    def put(hi, lo, val, s):
+        """(hi, lo) |= val << s for a 4-bit val and even traced shift s in
+        [0, 2k-4]; shift amounts are clamped so XLA's shift semantics never
+        see >= 32."""
+        lo = lo | jnp.where(s < 32, val << jnp.minimum(s, 31), jnp.uint32(0))
+        hi = hi | jnp.where(
+            s >= 32,
+            val << jnp.minimum(jnp.maximum(s, 32) - 32, 31),
+            val >> jnp.minimum(32 - jnp.minimum(s, 31), 31),
+        )
+        return hi, lo
+
+    def body(j, state):
+        fhi, flo, rhi, rlo, valid = state
+        i = 2 * j
+        c0 = jax.lax.dynamic_slice(c32, (i,), (n,))
+        c1 = jax.lax.dynamic_slice(c32, (i + 1,), (n,))
+        fpair = ((c0 & three) << 2) | (c1 & three)
+        rpair = (((three - c1) & three) << 2) | ((three - c0) & three)
+        sf = jnp.uint32(2 * (k - 2)) - 4 * j.astype(jnp.uint32)
+        sr = 4 * j.astype(jnp.uint32)
+        fhi, flo = put(fhi, flo, fpair, sf)
+        rhi, rlo = put(rhi, rlo, rpair, sr)
+        valid = valid & (c0 < 4) & (c1 < 4)
+        return fhi, flo, rhi, rlo, valid
 
     # derive the carry inits from the input so their varying-axis type
     # matches the body output under shard_map (zeros literals would be
     # "unvarying" and fail the scan carry check)
-    fwd0 = jax.lax.slice(c64, (0,), (n,)) & jnp.uint64(0)
-    rc0 = fwd0
-    valid0 = fwd0 == 0
-    fwd, rc, valid = jax.lax.fori_loop(0, k, body, (fwd0, rc0, valid0))
-    canon = jnp.minimum(fwd, rc)
+    z = jax.lax.slice(c32, (0,), (n,)) & jnp.uint32(0)
+    valid0 = z == 0
+    fhi, flo, rhi, rlo, valid = jax.lax.fori_loop(
+        0, k // 2, body, (z, z, z, z, valid0))
+
+    if k % 2 == 1:
+        # odd k: one single-base tail at i = k-1 (static shifts)
+        ci = jax.lax.slice(c32, (k - 1,), (k - 1 + n,))
+        flo = flo | (ci & three)  # forward shift 0
+        s = 2 * (k - 1)
+        rv = (three - ci) & three
+        if s < 32:
+            rlo = rlo | (rv << np.uint32(s))
+            if s > 28:
+                rhi = rhi | (rv >> np.uint32(32 - s))
+        else:
+            rhi = rhi | (rv << np.uint32(s - 32))
+        valid = valid & (ci < 4)
+
+    take_f = (fhi < rhi) | ((fhi == rhi) & (flo <= rlo))
+    chi = jnp.where(take_f, fhi, rhi).astype(jnp.uint64)
+    clo = jnp.where(take_f, flo, rlo).astype(jnp.uint64)
+    canon = (chi << np.uint64(32)) | clo
     canon = jnp.where(valid, canon, SENTINEL)
     return canon, valid
 

@@ -45,7 +45,7 @@ def brute_canonical(seq, k):
     return np.array(out, np.uint64), np.array(valid, bool)
 
 
-@pytest.mark.parametrize("k", [3, 21, 31])
+@pytest.mark.parametrize("k", [2, 3, 4, 12, 21, 30, 31])
 def test_canonical_matches_brute(rng, k):
     seq = random_seq(rng, 300, n_frac=0.05)
     want, wantv = brute_canonical(seq, k)
