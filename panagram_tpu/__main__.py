@@ -116,6 +116,9 @@ def _add_view(sub):
     p.add_argument("--ndebug", action="store_true")
     p.add_argument("--max-chr-bins", type=int, default=350)
     p.add_argument("--bookmarks", default=None)
+    p.add_argument("--order", nargs="*", default=None,
+                   help="fixed genome row order for heatmaps (default: "
+                        "ward-clustering order)")
     return p
 
 

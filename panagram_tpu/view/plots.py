@@ -196,7 +196,7 @@ def umap_scatter(index, genome, chrom=None) -> bytes:
 # ---------------- Chromosome tab ----------------
 
 def chromosome_view(index, genome, chrom, start=None, end=None,
-                    max_bins=350) -> bytes:
+                    max_bins=350, order_names=None) -> bytes:
     """The main interactive figure (reference view.plot_interactive
     :1116-1626): stacked occupancy bins + per-genome presence heatmap +
     gene/annotation tracks for a region."""
@@ -218,18 +218,24 @@ def chromosome_view(index, genome, chrom, start=None, end=None,
     n = index.ngenomes
     colors = genome_colors(n + 1)
 
-    # order genomes by ward-linkage clustering of sampled bitmap rows
-    # (reference view.plot_interactive builds the same tree from <=50k
-    # sampled rows, view.py:751-919,1183)
+    # order genomes: explicit --order list, else ward-linkage clustering of
+    # sampled bitmap rows (reference view.plot_interactive builds the same
+    # tree from <=50k sampled rows, view.py:751-919,1183)
     order = np.arange(n)
     link = None
-    try:
-        sample = bitmap.sample(n=min(len(bitmap), 50_000), random_state=42)
-        if n > 2 and sample.to_numpy().std() > 0:
-            link = hierarchy.linkage(sample.to_numpy().T, method="ward")
-            order = np.asarray(hierarchy.leaves_list(link))
-    except Exception:
-        pass
+    if order_names:
+        names = list(index.genome_names)
+        wanted = [names.index(g) for g in order_names if g in names]
+        rest = [i for i in range(n) if i not in wanted]
+        order = np.array(wanted + rest)
+    else:
+        try:
+            sample = bitmap.sample(n=min(len(bitmap), 50_000), random_state=42)
+            if n > 2 and sample.to_numpy().std() > 0:
+                link = hierarchy.linkage(sample.to_numpy().T, method="ward")
+                order = np.asarray(hierarchy.leaves_list(link))
+        except Exception:
+            pass
 
     fig = plt.figure(figsize=(11, 8), constrained_layout=True)
     gs = fig.add_gridspec(3, 2, height_ratios=[2, 2, 1],

@@ -64,6 +64,7 @@ select,input{margin:2px;padding:3px}
  </div>
  <img id="chrwhole">
  <img id="chrview">
+ <img id="chrumap">
 </div>
 <script>
 let META=null;
@@ -122,6 +123,7 @@ function go(){
   document.getElementById('chrwhole').src='/plot/chrom/'+g+'/'+c+'/whole.png';
   document.getElementById('chrview').src=
     '/plot/chrom/'+g+'/'+c+'/view.png?start='+st+'&end='+en;
+  document.getElementById('chrumap').src='/plot/chrom/'+g+'/'+c+'/umap.png';
 }
 function zoom(f){const [st,en,size]=region();const c=(st+en)/2,h=(en-st)*f/2;
   setRegion(Math.max(0,Math.round(c-h)),Math.min(size,Math.round(c+h)));}
@@ -235,12 +237,18 @@ class _Handler(BaseHTTPRequestHandler):
                         f"{genome}/{chrom}/whole",
                         lambda: plots.chr_whole_plot(idx, genome, chrom),
                     )
+                elif what == "umap.png":
+                    png = self._cached_png(
+                        f"{genome}/{chrom}/umap",
+                        lambda: plots.umap_scatter(idx, genome, chrom),
+                    )
                 else:
                     start = int(q["start"]) if q.get("start") else None
                     end = int(q["end"]) if q.get("end") else None
                     png = plots.chromosome_view(
                         idx, genome, chrom, start, end,
                         self.params.get("max_chr_bins", 350),
+                        order_names=self.params.get("order"),
                     )
             if png is not None:
                 return self._send(png, "image/png")
@@ -268,6 +276,7 @@ def serve(args):
     _Handler.index = index
     _Handler.params = {
         "max_chr_bins": getattr(args, "max_chr_bins", 350),
+        "order": getattr(args, "order", None),
         "init": {
             "genome": getattr(args, "genome", None),
             "chrom": getattr(args, "chrom", None),
