@@ -107,7 +107,7 @@ def main():
     reps = -(-seq_len // dict_genome_len)
     anchor_codes = np.tile(genomes[0], reps)[:seq_len]
 
-    capacity = chunk // 2
+    capacity = chunk // 8
 
     def run_once():
         nk = seq_len - k + 1

@@ -726,7 +726,7 @@ class Genome:
             hist = np.zeros((nbins, N + 1), np.int64)
             popc_full = np.empty(nkmers, np.int16) if self.annotated else None
 
-            capacity = chunk // 2
+            capacity = chunk // 8
             # dispatch all chunk kernels asynchronously, drain in order
             pending = []
             for start in range(0, nkmers, chunk):
