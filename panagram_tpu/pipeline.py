@@ -181,7 +181,7 @@ def build_dict_stage(index: Index, force=False) -> str:
 
 
 def anchor_stage(index: Index, name: str, pan_dict=None, force=False,
-                 bucketed=None):
+                 bucketed=None, per_stage_logfile=True):
     g = index.genomes[name]
     outs = [g.chrs_fname, g.bins_fname] + [
         g.bitmap_gz_fname(s) for s in index.steps
@@ -192,8 +192,12 @@ def anchor_stage(index: Index, name: str, pan_dict=None, force=False,
     t0 = time.time()
     if pan_dict is None:
         pan_dict = PanKmerDict.load(index.dict_fname)
-    log = os.path.join(index.prefix, "logs", f"anchor.{name}.log.txt")
-    os.makedirs(os.path.dirname(log), exist_ok=True)
+    # per-stage logfiles re-point the root logger (basicConfig force); in
+    # threaded runs keep the shared stderr logger instead
+    log = None
+    if per_stage_logfile:
+        log = os.path.join(index.prefix, "logs", f"anchor.{name}.log.txt")
+        os.makedirs(os.path.dirname(log), exist_ok=True)
     g.run_anchor(pan_dict, logfile=log, bucketed=bucketed)
     _benchmark(index.prefix, f"anchor.{name}", t0)
 
@@ -236,8 +240,25 @@ def build_index(samples_or_dir: str, prefix=None, force=False,
         pan_dict.keys, pan_dict.masks, index.ngenomes, index.k,
         mixed=(pan_dict.key_space == "mixed"))
 
-    for name in index.anchor_genomes:
-        anchor_stage(index, name, pan_dict, force=force, bucketed=bucketed)
+    cores = max(int(getattr(index.conf, "cores", 1) or 1), 1)
+    if cores > 1 and len(index.anchor_genomes) > 1:
+        # anchor genomes in parallel threads (the reference's OpenMP-over-
+        # genomes, cpp/anchor.cpp:217-223): device work serializes inside
+        # JAX while host-side packing/BGZF/reconstruction overlaps
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=cores) as ex:
+            futures = [
+                ex.submit(anchor_stage, index, name, pan_dict, force,
+                          bucketed, False)
+                for name in index.anchor_genomes
+            ]
+            for f in futures:
+                f.result()
+    else:
+        for name in index.anchor_genomes:
+            anchor_stage(index, name, pan_dict, force=force,
+                         bucketed=bucketed)
 
     dist_stage(index, pan_dict, force=force)
 

@@ -376,3 +376,34 @@ def test_fastq_sample_in_pipeline(tmp_path, rng):
     assert df["reads"][500] == 1
     assert df["reads"][0] == 0
     assert (df["asm"] == 1).all()
+
+
+def test_parallel_anchoring_matches_serial(tmp_path, rng):
+    """cores>1 threads anchor genomes concurrently; outputs must be
+    byte-identical to the serial build (thread-safe queries + writers)."""
+    fa_dir = tmp_path / "fa"
+    fa_dir.mkdir()
+    base = random_seq(rng, 2200)
+
+    def mutate(seq, n):
+        s = list(seq)
+        for i in rng.choice(len(s), n, replace=False):
+            s[i] = "ACGT"[rng.integers(4)]
+        return "".join(s)
+
+    names = ["gA", "gB", "gC", "gD"]
+    for i, n in enumerate(names):
+        (fa_dir / f"{n}.fa").write_text(f">chr1\n{mutate(base, 20 * i)}\n")
+    samples = tmp_path / "samples.tsv"
+    samples.write_text("name\tfasta\n" + "\n".join(
+        f"{n}\t{fa_dir}/{n}.fa" for n in names) + "\n")
+
+    build_index(str(samples), prefix=str(tmp_path / "serial"), k=K)
+    build_index(str(samples), prefix=str(tmp_path / "threads"), k=K, cores=3)
+
+    for n in names:
+        a = decompress_file(str(tmp_path / "serial" / "anchor" / n / "bitmap.1.gz"))
+        b = decompress_file(str(tmp_path / "threads" / "anchor" / n / "bitmap.1.gz"))
+        assert a == b
+        assert ((tmp_path / "serial" / "anchor" / n / "bitsum.bins.tsv").read_text()
+                == (tmp_path / "threads" / "anchor" / n / "bitsum.bins.tsv").read_text())
