@@ -31,7 +31,7 @@ import numpy as np
 import pandas as pd
 
 from .config import IndexConfig, config_path, samples_path
-from .io.bgzf import BgzfReader, BgzfWriter, load_gzi, make_virtual_offset
+from .io.bgzf import BgzfReader, BgzfWriter
 from .io.fasta import FastaFile, iter_fasta, seq_to_codes
 from .io.gff import split_gff
 from .io.tabix import TabixFile, write_tabix
@@ -206,35 +206,49 @@ class Index:
     def dict_fname(self):
         return os.path.join(self.kmer_dir, "pandict.npz")
 
-    # ---------------- read-mode aggregation (reference index.py:297-342) ----
+    # ---- read-mode aggregation across anchors (same summaries as
+    # reference index.py:297-342, rebuilt from each Genome's tables) ----
 
     def _init_read(self):
-        anchors = [g for g in self.anchor_genomes if self.genomes[g].chrs is not None]
+        """Stack every anchored genome's per-bin / per-chromosome occupancy
+        summaries into index-wide tables and derive frequency + mean-
+        occupancy views of them."""
+        loaded = [(name, self.genomes[name]) for name in self.anchor_genomes
+                  if self.genomes[name].chrs is not None]
+        names = [n for n, _ in loaded]
 
-        self.chrs = pd.concat(
-            {g: self.genomes[g].chrs for g in anchors}, names=["genome", "chr"]
-        )
-        self.bitsum_bins = pd.concat(
-            {g: self.genomes[g].bitsum_bins for g in anchors},
-            names=["genome", "chr", "start"],
+        def stack(frames, levels):
+            return pd.concat(frames, keys=names, names=levels)
+
+        self.chrs = stack([g.chrs for _, g in loaded], ["genome", "chr"])
+        self.bitsum_bins = stack(
+            [g.bitsum_bins for _, g in loaded], ["genome", "chr", "start"]
         ).sort_index()
-        self.bitsum_chrs = pd.concat(
-            {g: self.genomes[g].bitsum_chrs for g in anchors}, axis=0
-        )
-        self.bitfreq_chrs = pd.concat(
-            {g: self.genomes[g].bitfreq_chrs for g in anchors}, axis=0
-        )
-        self.bitsum_totals = pd.concat(
-            {g: self.genomes[g].bitsum_total for g in anchors}, axis=1
-        ).T
-        self.bitfreq_totals = self.bitsum_totals.divide(self.bitsum_totals.sum(axis=1), axis=0)
+        # per-chromosome rows keep their own (chr-only) index when stacked
+        self.bitsum_chrs = pd.concat([g.bitsum_chrs for _, g in loaded])
+        self.bitfreq_chrs = pd.concat([g.bitfreq_chrs for _, g in loaded])
 
-        n = np.array(self.bitfreq_totals.columns)
-        self.bitsum_totals_avg = (self.bitfreq_totals * n).sum(axis=1).sort_values()
-        self.bitsum_chrs_avg = (self.bitfreq_chrs * n).sum(axis=1).sort_values()
+        # one genome-wide occupancy histogram row per anchor
+        totals = pd.DataFrame(
+            [g.bitsum_total for _, g in loaded], index=pd.Index(names))
+        self.bitsum_totals = totals
+        self.bitfreq_totals = totals.div(totals.sum(axis=1), axis=0)
 
-        g = self.chrs["size"].groupby("genome")
-        self.genome_sizes = pd.DataFrame({"length": g.sum(), "chr_count": g.count()})
+        # mean occupancy = sum over occ of occ * freq(occ), per row
+        occ = self.bitfreq_totals.columns.to_numpy()
+
+        def mean_occ(freqs):
+            # nansum: an all-zero (hence all-NaN-frequency) row averages
+            # to 0, matching pandas' skipna sum semantics
+            vals = np.nansum(freqs.to_numpy() * occ, axis=1)
+            return pd.Series(vals, index=freqs.index).sort_values()
+
+        self.bitsum_totals_avg = mean_occ(self.bitfreq_totals)
+        self.bitsum_chrs_avg = mean_occ(self.bitfreq_chrs)
+
+        per_genome = self.chrs.groupby("genome")["size"]
+        self.genome_sizes = pd.DataFrame(
+            {"length": per_genome.sum(), "chr_count": per_genome.size()})
 
     # ---------------- query API ----------------
 
@@ -256,34 +270,56 @@ class Index:
         ret[occs - 1] = counts
         return ret
 
-    # bin transforms (reference index.py:438-465)
+    # ---- bin transforms (same outputs as reference index.py:438-465,
+    # computed with numpy scatter-adds instead of pandas groupby chains) ----
+
+    @staticmethod
+    def _bin_layout(positions, binlen):
+        """Map bitmap row positions to bin ids: returns (unique bin ids,
+        per-row bin slot index)."""
+        which = np.asarray(positions) // binlen
+        return np.unique(which, return_inverse=True)
+
+    def _occupancy_by_bin(self, occupancy, slots, n_bins):
+        """Histogram of occupancy values within each bin: [N+1, n_bins]."""
+        counts = np.zeros((self.ngenomes + 1, n_bins), np.int64)
+        np.add.at(counts, (np.asarray(occupancy), slots), 1)
+        return counts
+
+    @staticmethod
+    def _normalize_per_bin(sums):
+        """Scale each bin's per-genome totals by that bin's max (empty
+        bins -> NaN, like a 0/0 division)."""
+        peak = sums.max(axis=0, keepdims=True)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            return np.where(peak > 0, sums / peak, np.nan)
+
     def bitmap_to_bins(self, bitmap, binlen):
-        df = bitmap.set_index(bitmap.index // binlen)
+        bins, slots = self._bin_layout(bitmap.index, binlen)
+        presence = bitmap.to_numpy()
 
-        pancounts = df.sum(axis=1).reset_index().value_counts()
-        pancount_bins = pancounts.unstack(level=1, fill_value=0).T
-        pancount_bins = pancount_bins.reindex(self.bitsum_index, fill_value=0)
+        occ_hist = self._occupancy_by_bin(presence.sum(axis=1), slots, len(bins))
+        pancount_bins = pd.DataFrame(occ_hist, index=self.bitsum_index,
+                                     columns=bins)
 
-        paircount_bins = df.groupby(level=0).sum()
-        paircount_bins = paircount_bins.set_index(paircount_bins.index * binlen).T
-        paircount_bins = paircount_bins.div(paircount_bins.max(axis=0), axis=1)
+        sums = np.zeros((len(bins), presence.shape[1]), np.int64)
+        np.add.at(sums, slots, presence)
+        paircount_bins = pd.DataFrame(
+            self._normalize_per_bin(sums.T),
+            index=bitmap.columns, columns=bins * binlen)
         return pancount_bins, paircount_bins
 
     def bitmap_to_pancount(self, bitmap):
         return pd.Series(bitmap.to_numpy().sum(axis=1), index=bitmap.index)
 
     def bitmap_to_paircount_bins(self, bitmap, binlen):
-        df = bitmap.set_index(bitmap.index // binlen)
-        paircount_bins = df.groupby(level=0).sum()
-        paircount_bins = paircount_bins.set_index(paircount_bins.index * binlen).T
-        paircount_bins = paircount_bins.div(paircount_bins.max(axis=0), axis=1)
+        _, paircount_bins = self.bitmap_to_bins(bitmap, binlen)
         return paircount_bins
 
     def pancount_to_bins(self, pancnts, binlen):
-        bin_counts = pd.DataFrame(
-            {"count": pancnts.to_numpy(), "bin": pancnts.index // binlen}
-        ).value_counts(sort=False)
-        return bin_counts.unstack(level=1, fill_value=0).reindex(self.bitsum_index, fill_value=0)
+        bins, slots = self._bin_layout(pancnts.index, binlen)
+        occ_hist = self._occupancy_by_bin(pancnts.to_numpy(), slots, len(bins))
+        return pd.DataFrame(occ_hist, index=self.bitsum_index, columns=bins)
 
     def close(self):
         for b in self.genomes.values():
@@ -464,9 +500,11 @@ class Genome:
     # ---------------- read mode (reference index.py:615-658) ----------------
 
     def init_read(self):
-        self.blocks = {s: load_gzi(self.bitmap_gzi_fname(s)) for s in self.steps}
+        # one indexed reader per stored resolution; the .gzi lives inside
+        # the reader (BgzfReader.read_at does the block search + seek)
         self.bitmaps = {
-            s: BgzfReader(self.bitmap_gz_fname(s)) for s in self.steps
+            s: BgzfReader(self.bitmap_gz_fname(s), self.bitmap_gzi_fname(s))
+            for s in self.steps
         }
         # BgzfReader is stateful (seek+read); queries may come from thread
         # pools (introgression caller threads, the threaded viewer server)
@@ -543,44 +581,42 @@ class Genome:
         else:
             self.genome_umap = None
 
-    # ---------------- the universal read primitive (index.py:804-845) --------
+    # ---- the universal read primitive (semantics of reference
+    # index.py:804-845, re-expressed over io.bgzf.BgzfReader.read_at) ----
 
     def query(self, name, start=None, end=None, step=1):
-        bstep = 1
-        for s in self.steps:
-            if step % s == 0:
-                bstep = max(bstep, s)
+        """Presence bits for chromosome `name` over [start, end) at the
+        given stride, as a DataFrame indexed by position with one bool-int
+        column per genome.
 
+        Rows are served from the coarsest stored bitmap resolution whose
+        step divides the requested stride (the two-resolution trick of
+        SURVEY §5.7), then thinned host-side to the exact stride."""
         if start is None:
             start = 0
         if end is None:
             end = self.seq_len(name)
 
-        pac = self._query_bytes(name, start, end - 1, step, bstep)
-        bits = self._bytes_to_bits(pac)
-        idx = pd.RangeIndex(start, end, step)
-        return pd.DataFrame(bits[: len(idx)], index=idx, columns=self.genome_names)
+        stored = max((s for s in self.steps if step % s == 0), default=1)
+        first_row = start // stored
+        n_rows = (end - 1 - start) // stored + 1
 
-    def _bytes_to_bits(self, pac):
-        return np.unpackbits(pac, bitorder="little", axis=1)[:, : self.ngenomes]
-
-    def _query_bytes(self, name, start, end, step, bstep):
-        byte_start = self.nbytes * (self.offsets.loc[name, bstep] + (start // bstep))
-        length = int((end - start) // bstep) + 1
-
-        step = step // bstep
-
-        blocks = self.blocks[bstep]
-        blk = np.searchsorted(blocks["dstart"], byte_start, side="right") - 1
-        blk_offs = int(byte_start - blocks["dstart"][blk])
-        blk_start = int(blocks["rstart"][blk])
-
+        # uncompressed byte offset of this chromosome's rows at `stored`
+        # resolution: cumulative chromosome offset + rows into it
+        row_base = int(self.offsets.at[name, stored]) + first_row
         with self._query_lock:
-            self.bitmaps[bstep].seek(make_virtual_offset(blk_start, blk_offs))
-            buf = self.bitmaps[bstep].read(length * self.nbytes)
+            raw = self.bitmaps[stored].read_at(
+                row_base * self.nbytes, n_rows * self.nbytes)
 
-        pac = np.frombuffer(buf, "uint8").reshape((len(buf) // self.nbytes, self.nbytes))
-        return pac[::step] if step > 1 else pac
+        mat = np.frombuffer(raw, np.uint8).reshape(-1, self.nbytes)
+        thin = step // stored
+        if thin > 1:
+            mat = mat[::thin]
+
+        bits = np.unpackbits(mat, axis=1, bitorder="little")
+        coords = pd.RangeIndex(start, end, step)
+        return pd.DataFrame(bits[: len(coords), : self.ngenomes],
+                            index=coords, columns=self.genome_names)
 
     def query_genes(self, chrom=None, start=None, end=None):
         if self.gene_tabix is None:

@@ -8,8 +8,10 @@ normalization `gnm`, optional edge taper `edg`, mean/median smoothing
 `sft`/`ssz`), threshold (2-way vs REF / 3-way vs a donor group / simple
 REF-space), and emit merged BED calls plus similarity heatmaps.
 
-Thresholds are applied as a vectorized batch over the binned similarity
-matrix (SURVEY §2.7 P7: "vectorize thresholds as an extra array axis").
+The expensive per-(anchor, chromosome) work — bitmap query, binning,
+preprocessing — is computed once and shared across ALL thresholds; the
+threshold loop itself is a cheap elementwise comparison per threshold
+(SURVEY §2.7 P7's fan-out collapses to reuse of the shared binned matrix).
 """
 
 from __future__ import annotations

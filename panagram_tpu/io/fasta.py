@@ -53,6 +53,7 @@ def write_fai(path, out_path=None):
         linebases = 0
         linewidth = 0
         first_line = True
+        short_seen = False
         pos = 0
         for raw in fh:
             line = raw.rstrip(b"\r\n")
@@ -63,11 +64,23 @@ def write_fai(path, out_path=None):
                 length = 0
                 offset = pos + len(raw)
                 first_line = True
+                short_seen = False
             elif name is not None and line:
                 if first_line:
                     linebases = len(line)
                     linewidth = len(raw)
                     first_line = False
+                else:
+                    # .fai offset arithmetic assumes every non-terminal
+                    # sequence line has the same width; a ragged FASTA
+                    # would make fetch() silently return wrong bases
+                    # (samtools faidx errors on such input too)
+                    if short_seen or len(line) > linebases:
+                        raise ValueError(
+                            f"{path}: sequence '{name}' has ragged line "
+                            "lengths; cannot build a .fai index")
+                    if len(line) < linebases:
+                        short_seen = True  # only legal as the final line
                 length += len(line)
             pos += len(raw)
         if name is not None:

@@ -33,8 +33,12 @@ def anchor_lookup(canon: jax.Array, keys: jax.Array, masks: jax.Array):
 
 @jax.jit
 def mask_popcount(rows: jax.Array) -> jax.Array:
-    """Popcount across mask words -> occupancy per position (int32 [P])."""
-    return jnp.sum(jax.lax.population_count(rows).astype(jnp.int32), axis=-1)
+    """Popcount across mask words -> occupancy per position (int32 [P]).
+    The explicit accumulator dtype stops jnp.sum promoting to int64 under
+    the package's x64 mode (scattering int64 into int32 buffers warns now
+    and will become an error)."""
+    return jnp.sum(jax.lax.population_count(rows).astype(jnp.int32), axis=-1,
+                   dtype=jnp.int32)
 
 
 @jax.jit

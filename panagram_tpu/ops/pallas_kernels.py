@@ -8,10 +8,6 @@ rows (one HBM read), the pattern cpp/anchor.cpp:155-189 uses on CPU
 
 Kernels are grid-tiled over positions with VMEM-resident blocks and run on
 TPU or under `interpret=True` on CPU (how the unit tests exercise them).
-Opt-in at runtime via PANAGRAM_TPU_PALLAS=1 (bench/pipeline check this):
-the fused XLA path is already transfer-bound on tunnel-attached chips, but
-on directly-attached TPUs the single-read fusion removes two full HBM
-passes over the row data.
 """
 
 from __future__ import annotations

@@ -38,6 +38,18 @@ def _done_marker(prefix, stage, pid):
     return os.path.join(prefix, "logs", f".done.{stage}.{pid}")
 
 
+def _clear_done_markers(prefix, pid):
+    """Remove THIS process's stale markers from a previous (crashed or
+    forced) run before any barrier can observe them; each process clears
+    only its own so a peer's live marker is never lost."""
+    logdir = os.path.join(prefix, "logs")
+    for stage in ("count", "anchor"):
+        try:
+            os.remove(_done_marker(prefix, stage, pid))
+        except FileNotFoundError:
+            pass
+
+
 def _mark_done(prefix, stage, pid):
     os.makedirs(os.path.join(prefix, "logs"), exist_ok=True)
     with open(_done_marker(prefix, stage, pid), "w") as f:
@@ -63,11 +75,13 @@ def build_index_distributed(samples_or_dir, prefix=None, num_processes=1,
 
     if process_id == 0:
         index = Index(samples_or_dir, mode="w", prefix=prefix, **params)
+        _clear_done_markers(index.prefix, process_id)
     else:
         # wait for process 0 to initialize config + samples
         target = prefix or samples_or_dir
         _wait_for([config_path(target), samples_path(target)])
         index = Index(target, mode="w")
+        _clear_done_markers(index.prefix, process_id)
 
     # ---- counting: genomes round-robin by id ----
     mine = [n for i, n in enumerate(index.genome_names)

@@ -70,6 +70,26 @@ def _iter_fastq(path):
                 yield "read", seq
 
 
+def _sequence_size_estimate(path) -> int:
+    """Decompressed byte size of a (possibly gzipped) sequence file.
+
+    For .gz files, read the ISIZE trailer (uncompressed length mod 2^32);
+    when that is implausibly small vs the compressed size (a >4 GB genome
+    wrapped around, or a multi-member file) fall back to 4x compressed."""
+    raw = os.path.getsize(path)
+    if not str(path).endswith(".gz"):
+        return raw
+    try:
+        with open(path, "rb") as f:
+            f.seek(-4, os.SEEK_END)
+            isize = int.from_bytes(f.read(4), "little")
+        if isize >= raw // 2:
+            return isize
+    except OSError:
+        pass
+    return raw * 4
+
+
 def count_genome(index: Index, name: str, force=False) -> str:
     """Stage count[g]: distinct canonical k-mers of one genome.
 
@@ -93,7 +113,11 @@ def count_genome(index: Index, name: str, force=False) -> str:
     else:
         codes = (seq_to_codes(seq) for _, seq in iter_fasta(fasta))
         kmers = distinct_kmers_chunked(codes, k)
-    np.savez(out, kmers=kmers, k=k)
+    # atomic write: a distributed peer may np.load this the moment its
+    # barrier opens — it must never observe a partially-written file
+    tmp = out + f".tmp.{os.getpid()}"
+    np.savez(tmp, kmers=kmers, k=k)
+    os.replace(tmp if tmp.endswith(".npz") else tmp + ".npz", out)
     _benchmark(index.prefix, f"kmc.{name}", t0)
     logger.info(f"counted {name}: {len(kmers)} distinct {k}-mers")
     return out
@@ -129,12 +153,15 @@ def build_dict_device(index: Index, force=False) -> str:
 
     # upper bound on distinct canonical k-mers: the largest genome plus
     # divergence headroom (the union is far below the sum for related
-    # genomes); the builder grows if the estimate is exceeded
+    # genomes); the builder grows if the estimate is exceeded.  For
+    # gzipped FASTA the file size is ~4x too small a proxy, which would
+    # defeat the compile-exactly-once capacity — use the real
+    # decompressed length instead (gzip ISIZE trailer, exact below 4 GB)
     sizes = []
     for n in index.genome_names:
         f = index.genomes[n]._fasta_path
         if f and os.path.exists(f):
-            sizes.append(os.path.getsize(f))
+            sizes.append(_sequence_size_estimate(f))
     hint = int(max(sizes) * 1.5) if sizes else None
 
     b = DeviceDictBuilder(index.k, index.ngenomes, capacity_hint=hint)

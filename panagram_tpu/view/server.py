@@ -11,6 +11,7 @@ from __future__ import annotations
 import json
 import threading
 import traceback
+from collections import OrderedDict
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -141,7 +142,10 @@ init();
 class _Handler(BaseHTTPRequestHandler):
     index: Index = None
     params = None
-    _cache = {}
+    # bounded LRU so a long-lived session cannot accumulate every rendered
+    # PNG; reset by serve() so a new/rebuilt index never serves stale plots
+    _cache = OrderedDict()
+    _cache_max = 128
     _lock = threading.Lock()
 
     def log_message(self, fmt, *args):
@@ -177,9 +181,16 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _cached_png(self, key, build):
         with self._lock:
-            if key not in self._cache:
-                self._cache[key] = build()
-        return self._cache[key]
+            if key in self._cache:
+                self._cache.move_to_end(key)
+                return self._cache[key]
+        png = build()
+        with self._lock:
+            self._cache[key] = png
+            self._cache.move_to_end(key)
+            while len(self._cache) > self._cache_max:
+                self._cache.popitem(last=False)
+        return png
 
     def _route(self, path, parts, q):
         idx = self.index
@@ -274,6 +285,7 @@ def _load_bookmarks(path):
 def serve(args):
     index = Index(args.index_dir)
     _Handler.index = index
+    _Handler._cache = OrderedDict()
     _Handler.params = {
         "max_chr_bins": getattr(args, "max_chr_bins", 350),
         "order": getattr(args, "order", None),
