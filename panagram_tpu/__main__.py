@@ -32,6 +32,10 @@ def _add_index(sub):
     p.add_argument("--device-dict", action="store_true",
                    help="count + merge the dictionary entirely on device "
                         "(no per-genome k-mer set files)")
+    p.add_argument("--mesh", type=int, default=None, metavar="N",
+                   help="build on an N-device mesh: distributed dictionary "
+                        "merge (all_to_all) + sequence-sharded anchoring; "
+                        "outputs are byte-identical to the 1-device build")
     p.add_argument("--num-processes", type=int, default=1,
                    help="distributed build: total processes/hosts")
     p.add_argument("--process-id", type=int, default=0,
@@ -73,7 +77,8 @@ def _run_index(args):
             print(f"Process {args.process_id} finished its shard")
     else:
         idx = build_index(args.input, prefix=args.prefix, force=args.force,
-                          device_dict=args.device_dict, **params)
+                          device_dict=args.device_dict,
+                          mesh_devices=args.mesh, **params)
         print(f"Index built at {idx.prefix}")
 
 

@@ -684,24 +684,10 @@ class Genome:
             binlen = nkmers // self.index.conf.min_bin_count
         return max(int(binlen), 1)
 
-    def run_anchor(self, pan_dict=None, logfile=None, bucketed=None):
-        """Anchor this genome against the pan-kmer dictionary.
-
-        The streamed per-chunk pipeline replaces cpp/anchor.cpp:112-195:
-        2-bit encode -> canonical pack -> dictionary gather -> byte-pack /
-        popcount / histograms, all device-side per chunk; chunk kernels are
-        dispatched asynchronously and drained in order so device compute
-        overlaps host packing, transfers, and BGZF writes.
-
-        `bucketed` (a prebuilt ops.lookup.BucketedDict) avoids re-laying
-        out the dictionary per anchor genome.
-        """
-        if logfile:
-            init_logger(logfile)
-        if not self.anchored:
-            logger.info(f"Skipping non-anchor genome '{self.name}'")
-            return
-
+    def _device_chunk_results(self, codes, nkmers, chunk, buf, t1, bd):
+        """Single-chip streamed chunk engine: dispatch every chunk's fused
+        RLE kernel asynchronously, then drain in order.  Yields
+        (start, m, bitmap bytes [m, nbytes], popc i32 [m], colsums [N])."""
         import jax.numpy as jnp
 
         from .ops.anchor import (
@@ -713,10 +699,127 @@ class Genome:
             rle2_colsums,
             unpack_rle2,
         )
+
+        k = self.index.k
+        N = self.ngenomes
+        nbytes = self.nbytes
+        capacity = chunk // 8
+
+        pending = []
+        for start in range(0, nkmers, chunk):
+            m = min(chunk, nkmers - start)
+            buf[:] = 255
+            buf[: m + k - 1] = codes[start : start + m + k - 1]
+            inbuf, L = pack_bases_combined(buf)
+            combined, stats = anchor_chunk_rle2(
+                jnp.asarray(inbuf), t1, L, k, bd.nbits,
+                bd.cap, bd.nwords, nbytes, capacity,
+            )
+            prefix = dispatch_rle_prefix(combined)
+            pending.append((start, m, L, inbuf, combined, prefix, stats))
+
+        for start, m, L, inbuf, combined, prefix, stats in pending:
+            count = int(np.asarray(stats)[0])
+            P = L - k + 1
+            if count > capacity:
+                by_d, popc_d, colsums_d = anchor_chunk_fast(
+                    jnp.asarray(inbuf[: (L + 3) // 4]),
+                    jnp.asarray(inbuf[(L + 3) // 4 :]),
+                    t1, L, k, bd.nbits, bd.cap,
+                    bd.nwords, nbytes,
+                )
+                by = np.asarray(by_d)[:m]
+                popc_np = np.asarray(popc_d)[:m].astype(np.int32)
+                chunk_colsums = np.asarray(colsums_d)[:N]
+            else:
+                combined_host = collect_rle(prefix, combined, count)
+                by, popc_np = unpack_rle2(combined_host, count, P, nbytes)
+                by = by[:m]
+                popc_np = popc_np[:m]
+                chunk_colsums = rle2_colsums(combined_host, count, P, N)
+            yield start, m, by, popc_np, chunk_colsums
+
+    def _mesh_chunk_results(self, mesh, sharded, codes, nkmers, chunk):
+        """Distributed chunk engine (parallel/shard.py): each chunk is
+        sequence-sharded over the mesh with (k-1) halos, anchored via
+        all_to_all routing into the per-shard bucket tables, and returned
+        as per-device RLE buffers that this host decodes and concatenates.
+        Yields the same tuples as _device_chunk_results — the entire write
+        path downstream is shared, so mesh builds are byte-identical."""
+        from .ops.anchor import rle2_colsums, unpack_rle2
+        from .parallel.shard import make_halo_chunks, sharded_anchor_chunk
+
+        k = self.index.k
+        N = self.ngenomes
+        nbytes = self.nbytes
+        S = mesh.devices.size
+        C_dev = -(-chunk // S)
+        capacity = max(C_dev // 8, 1024)
+
+        pending = []
+        for start in range(0, nkmers, chunk):
+            m = min(chunk, nkmers - start)
+            sub = codes[start : start + m + k - 1]
+            halo, _ = make_halo_chunks(sub, S, k, C_dev)
+            combined, counts, _ = sharded_anchor_chunk(
+                mesh, sharded, halo, capacity)
+            pending.append((start, m, halo, combined, counts))
+
+        for start, m, halo, combined, counts in pending:
+            cnts = np.asarray(counts)
+            if np.any(cnts > capacity):
+                # RLE overflow on some device: redo the chunk with a
+                # capacity that can never overflow (count <= C_dev)
+                combined, counts, _ = sharded_anchor_chunk(
+                    mesh, sharded, halo, C_dev)
+                cnts = np.asarray(counts)
+            comb = np.asarray(combined)
+            parts_by, parts_popc = [], []
+            chunk_colsums = np.zeros(N, np.int64)
+            for d in range(S):
+                cd = int(cnts[d])
+                real = min(max(m - d * C_dev, 0), C_dev)
+                if real == 0:
+                    break
+                by_d, popc_d = unpack_rle2(comb[d], cd, C_dev, nbytes)
+                parts_by.append(by_d[:real])
+                parts_popc.append(popc_d[:real])
+                # padding rows carry zero masks, so the full-slice totals
+                # are exact
+                chunk_colsums += rle2_colsums(comb[d], cd, C_dev, N)
+            by = np.concatenate(parts_by)
+            popc_np = np.concatenate(parts_popc)
+            yield start, m, by, popc_np, chunk_colsums
+
+    def run_anchor(self, pan_dict=None, logfile=None, bucketed=None,
+                   mesh=None, sharded=None):
+        """Anchor this genome against the pan-kmer dictionary.
+
+        The streamed per-chunk pipeline replaces cpp/anchor.cpp:112-195:
+        2-bit encode -> canonical pack -> dictionary gather -> byte-pack /
+        popcount / histograms, all device-side per chunk; chunk kernels are
+        dispatched asynchronously and drained in order so device compute
+        overlaps host packing, transfers, and BGZF writes.
+
+        `bucketed` (a prebuilt ops.lookup.BucketedDict) avoids re-laying
+        out the dictionary per anchor genome.
+
+        `mesh` + `sharded` (a parallel.shard.ShardedBucketedDict) switch
+        the per-chunk kernel to the DISTRIBUTED engine: sequence-sharded
+        slices with (k-1) halos, all_to_all query routing into per-shard
+        bucket tables, and per-device RLE-compacted outputs — same bytes,
+        any number of chips.
+        """
+        if logfile:
+            init_logger(logfile)
+        if not self.anchored:
+            logger.info(f"Skipping non-anchor genome '{self.name}'")
+            return
+
         from .ops.dictionary import PanKmerDict
         from .ops.lookup import BucketedDict
 
-        if pan_dict is None:
+        if pan_dict is None and sharded is None:
             pan_dict = PanKmerDict.load(self.index.dict_fname)
 
         os.makedirs(self.prefix, exist_ok=True)
@@ -725,10 +828,14 @@ class Genome:
         nbytes = self.nbytes
         lowres = self.index.lowres_step
 
-        bd = bucketed if bucketed is not None else BucketedDict.build(
-            pan_dict.keys, pan_dict.masks, N, k,
-            mixed=(getattr(pan_dict, "key_space", "canon") == "mixed"))
-        (t1,) = bd.device_arrays()
+        use_mesh = mesh is not None and sharded is not None
+        if use_mesh:
+            t1 = bd = None
+        else:
+            bd = bucketed if bucketed is not None else BucketedDict.build(
+                pan_dict.keys, pan_dict.masks, N, k,
+                mixed=(getattr(pan_dict, "key_space", "canon") == "mixed"))
+            (t1,) = bd.device_arrays()
 
         if self.chrs is None:
             self.init_chrs()
@@ -762,41 +869,14 @@ class Genome:
             hist = np.zeros((nbins, N + 1), np.int64)
             popc_full = np.empty(nkmers, np.int16) if self.annotated else None
 
-            capacity = chunk // 8
-            # dispatch all chunk kernels asynchronously, drain in order
-            pending = []
-            for start in range(0, nkmers, chunk):
-                m = min(chunk, nkmers - start)
-                buf[:] = 255
-                buf[: m + k - 1] = codes[start : start + m + k - 1]
-                inbuf, L = pack_bases_combined(buf)
-                combined, stats = anchor_chunk_rle2(
-                    jnp.asarray(inbuf), t1, L, k, bd.nbits,
-                    bd.cap, bd.nwords, nbytes, capacity,
-                )
-                prefix = dispatch_rle_prefix(combined)
-                pending.append((start, m, L, inbuf, combined, prefix, stats))
+            if use_mesh:
+                results = self._mesh_chunk_results(
+                    mesh, sharded, codes, nkmers, chunk)
+            else:
+                results = self._device_chunk_results(
+                    codes, nkmers, chunk, buf, t1, bd)
 
-            for start, m, L, inbuf, combined, prefix, stats in pending:
-                count = int(np.asarray(stats)[0])
-                P = L - k + 1
-                if count > capacity:
-                    by_d, popc_d, colsums_d = anchor_chunk_fast(
-                        jnp.asarray(inbuf[: (L + 3) // 4]),
-                        jnp.asarray(inbuf[(L + 3) // 4 :]),
-                        t1, L, k, bd.nbits, bd.cap,
-                        bd.nwords, nbytes,
-                    )
-                    by = np.asarray(by_d)[:m]
-                    popc_np = np.asarray(popc_d)[:m].astype(np.int32)
-                    chunk_colsums = np.asarray(colsums_d)[:N]
-                else:
-                    combined_host = collect_rle(prefix, combined, count)
-                    by, popc_np = unpack_rle2(combined_host, count, P, nbytes)
-                    by = by[:m]
-                    popc_np = popc_np[:m]
-                    chunk_colsums = rle2_colsums(combined_host, count, P, N)
-
+            for start, m, by, popc_np, chunk_colsums in results:
                 writers[1].write(by.tobytes())
                 # global-phase lowres downsample (anchor.cpp:169-177)
                 first = (-start) % lowres

@@ -159,11 +159,11 @@ class DeviceDictBuilder:
                            key_space="mixed")
 
     def bucketed(self):
-        """Build the query-time layout directly (host-side layout pass for
-        now; keys stay in mixed space so no re-sort is needed)."""
+        """Build the query-time layout directly ON DEVICE: the builder's
+        sentinel-padded arrays feed BucketedDict.build_device without any
+        host copy of keys, masks, or the finished table."""
         from .lookup import BucketedDict
 
-        keys = np.asarray(self.keys)[: self.count]
-        masks = np.asarray(self.masks)[: self.count]
-        return BucketedDict.build(keys, masks, self.ngenomes, self.k,
-                                  mixed=True)
+        return BucketedDict.build_device(self.keys, self.masks,
+                                         self.ngenomes, self.k,
+                                         mixed=True, count=self.count)

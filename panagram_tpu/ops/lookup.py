@@ -132,6 +132,95 @@ class BucketedDict:
     def device_arrays(self):
         return (jnp.asarray(self.table),)
 
+    @classmethod
+    def build_device(cls, keys, masks, ngenomes: int, k: int,
+                     mixed: bool = False, count: int | None = None,
+                     min_nbits: int = 2) -> "BucketedDict":
+        """Device-side layout: same result as build() but the argsort +
+        scatter run on the accelerator and `table` stays a device array —
+        no host round-trip of the table (SURVEY §7.4.2 scale requirement).
+
+        keys may be SENTINEL-padded (e.g. the device-resident builder's
+        fixed-capacity arrays); `count` is the number of real keys (for
+        sizing only; defaults to len(keys))."""
+        D = max(int(count) if count is not None else len(keys), 1)
+        W = masks.shape[1] if masks.ndim == 2 else 1
+        keys = jnp.asarray(keys, jnp.uint64)
+        masks = jnp.asarray(masks, jnp.uint32).reshape(keys.shape[0], W)
+        m = keys if mixed else jnp.where(
+            keys == U64(0xFFFFFFFFFFFFFFFF), keys, mix64(keys))
+
+        slot_w = 2 + W
+        stride = 64
+        while stride // slot_w < 3 * cls.MEAN_LOAD:
+            stride += 64
+        cap = stride // slot_w
+
+        nbits = max(int(np.ceil(np.log2(max(D / cls.MEAN_LOAD, 1)))),
+                    min_nbits)
+        for _ in range(8):
+            table, overflow = _layout_device(m, masks, nbits, cap, stride)
+            if int(overflow) == 0:
+                return cls(table=table, nbits=nbits, cap=cap, stride=stride,
+                           ngenomes=ngenomes, k=k, nwords=W)
+            nbits += 1
+        raise RuntimeError("bucketed dict: bucket overflow persisted after "
+                           "8 doublings — pathological key distribution")
+
+
+def layout_rows(m: jax.Array, masks: jax.Array, bucket: jax.Array,
+                n_buckets: int, cap: int, stride: int):
+    """Traced core of the device bucket layout (also used inside the
+    distributed build's shard_map body, parallel/shard.py).
+
+    m u64 [D] mixed keys (SENTINEL rows are padding and dropped); masks
+    u32 [D, W]; bucket i32 [D] — the destination bucket of each row (any
+    derivation: top bits, low bits, shard-offset).
+
+    Returns (table u32 [n_buckets, stride], overflow i32): rows beyond a
+    bucket's capacity are dropped and counted in overflow (the caller
+    retries with more buckets)."""
+    D = m.shape[0]
+    W = masks.shape[1]
+    slot_w = 2 + W
+
+    real = m != jnp.uint64(0xFFFFFFFFFFFFFFFF)
+    b = jnp.where(real, bucket, n_buckets).astype(jnp.int32)
+
+    # deterministic grouping: sort by (bucket, key) — keys are distinct,
+    # so the order (hence slot assignment) is a fixed total order
+    ops = (b, m) + tuple(masks[:, w] for w in range(W))
+    srt = jax.lax.sort(ops, num_keys=2)
+    bs, ms = srt[0], srt[1]
+    masks_s = jnp.stack(srt[2:], axis=1) if W else masks
+
+    counts = jnp.bincount(bs, length=n_buckets + 1)
+    offsets = jnp.cumsum(counts) - counts
+    slot = jnp.arange(D) - offsets[bs]
+    overflow = jnp.sum(jnp.maximum(counts[:n_buckets] - cap, 0))
+
+    ok = (bs < n_buckets) & (slot < cap)
+    base = jnp.where(ok, bs * stride + slot * slot_w, n_buckets * stride)
+    idx = base[:, None] + jnp.arange(slot_w)[None, :]
+    vals = jnp.concatenate(
+        [
+            (ms >> U64(32)).astype(jnp.uint32)[:, None],
+            (ms & U64(0xFFFFFFFF)).astype(jnp.uint32)[:, None],
+            masks_s,
+        ],
+        axis=1,
+    )
+    table = jnp.full(n_buckets * stride, _SENTINEL32, jnp.uint32)
+    table = table.at[idx].set(vals, mode="drop")
+    return table.reshape(n_buckets, stride), overflow.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _layout_device(m: jax.Array, masks: jax.Array, nbits: int, cap: int,
+                   stride: int):
+    bucket = (m >> U64(64 - nbits)).astype(jnp.int32)
+    return layout_rows(m, masks, bucket, 1 << nbits, cap, stride)
+
 
 @partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def bucket_query(canon: jax.Array, table: jax.Array,

@@ -1,20 +1,26 @@
-"""Sharded dictionary + distributed anchoring step (shard_map + collectives).
+"""Sharded dictionary + distributed anchoring (shard_map + collectives).
 
 This is the distributed-systems core the reference lacks entirely (SURVEY
-§5.8: "no NCCL/MPI/Gloo ... this is new, idiomatic-JAX design space"):
+§5.8: "no NCCL/MPI/Gloo ... this is new, idiomatic-JAX design space"), and
+— unlike round 1 — it is the engine the production CLI drives when a mesh
+is requested (``panagram_tpu index --mesh N``):
 
-* the pan-kmer dictionary is **range-sharded** over the mesh axis: device d
-  owns sorted keys in [boundary[d], boundary[d+1]); boundaries are key
-  quantiles so shards stay balanced;
-* anchor positions are **sequence-sharded**: each device packs canonical
-  k-mers for its contiguous slice of the chromosome (with (k-1)-base halo,
-  the pattern of reference cpp/anchor.cpp:127);
-* each device routes its queries to the owning dict shard with
-  ``all_to_all`` (sort-by-destination + capacity-C dispatch), looks up
-  locally (binary search), and routes mask rows back with a second
-  ``all_to_all``;
-* per-genome totals and occupancy histograms are reduced with ``psum`` —
-  deterministic reduction order, preserving bit-identical outputs.
+* the pan-kmer dictionary lives as per-shard single-probe BUCKETED HASH
+  tables (the fast layout of ops/lookup.py, not a binary search): shard s
+  owns mixed keys in [s*2^64/S, (s+1)*2^64/S); within a shard, a key's
+  bucket is its LOW table-index bits (splitmix64 makes high and low bits
+  independently uniform), so every probe is one wide lane-aligned gather;
+* the distributed build routes (key, genome) pairs to their owning shard
+  with ``all_to_all``, sort-merges them locally into presence masks, and
+  lays out the local bucket table ON DEVICE — keys, masks, and table never
+  visit the host;
+* anchoring is sequence-sharded: each device packs canonical k-mers for a
+  contiguous chromosome slice (with the (k-1)-base halo of reference
+  cpp/anchor.cpp:127), routes queries to owners by mixed-key range, probes
+  locally, routes mask rows back, and RUN-LENGTH-COMPACTS its slice on
+  device — the host receives only rows where the mask changes, exactly
+  like the single-device fast path (ops/anchor.anchor_chunk_rle2), never
+  the full-resolution bitmap.
 
 Everything compiles under jit over a ``jax.sharding.Mesh`` and runs
 unmodified on a virtual 8-device CPU mesh (tests) or a TPU slice.
@@ -33,156 +39,183 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..ops.codec import SENTINEL, pack_kmers
 from ..ops.dictionary import PanKmerDict
-from ..ops.lookup import mix64
+from ..ops.lookup import BucketedDict, layout_rows, mix64
 from .mesh import DICT_AXIS
+
+U64 = np.uint64
 
 
 @dataclasses.dataclass
-class ShardedDict:
-    """Range-sharded dictionary resident across devices.
+class ShardedBucketedDict:
+    """Bucketed-hash dictionary resident across the mesh.
 
-    keys/masks are [n_shards, cap] / [n_shards, cap, W] arrays sharded on
-    axis 0 over the mesh; padding rows hold SENTINEL keys.  boundaries is a
-    replicated [n_shards] array of shard lower bounds (boundary[0] == 0).
+    tables: u32 [S, B_local, stride] sharded on axis 0; shard s's table
+    holds the keys whose mixed value falls in its range, bucketed by the
+    low log2(B_local) bits.  All layout parameters mirror BucketedDict.
     """
 
-    keys: jax.Array       # u64 [S, cap] sharded
-    masks: jax.Array      # u32 [S, cap, W] sharded
-    boundaries: jax.Array  # u64 [S] replicated
+    tables: jax.Array
+    nbits: int          # log2(B_local)
+    cap: int
+    stride: int
     ngenomes: int
     k: int
-    mixed: bool = False   # keys/boundaries live in splitmix64-mixed space
+    nwords: int
+    n_shards: int
 
     @property
-    def nwords(self):
-        return self.masks.shape[-1]
-
-
-def shard_dictionary(pan_dict: PanKmerDict, mesh) -> ShardedDict:
-    """Split a host PanKmerDict into balanced range shards and place them."""
-    n = mesh.devices.size
-    D = len(pan_dict.keys)
-    W = pan_dict.masks.shape[1] if pan_dict.masks.ndim == 2 else 1
-
-    # quantile boundaries over the sorted key array
-    cuts = [(i * D) // n for i in range(n + 1)]
-    cap = max((cuts[i + 1] - cuts[i]) for i in range(n)) if D else 1
-    keys = np.full((n, cap), np.uint64(SENTINEL), np.uint64)
-    masks = np.zeros((n, cap, W), np.uint32)
-    bounds = np.zeros(n, np.uint64)
-    for i in range(n):
-        lo, hi = cuts[i], cuts[i + 1]
-        keys[i, : hi - lo] = pan_dict.keys[lo:hi]
-        masks[i, : hi - lo] = pan_dict.masks[lo:hi]
-        bounds[i] = pan_dict.keys[lo] if hi > lo and i > 0 else 0
-    # ensure monotone bounds even with empty shards
-    for i in range(1, n):
-        if bounds[i] < bounds[i - 1]:
-            bounds[i] = bounds[i - 1]
-
-    shard = NamedSharding(mesh, P(DICT_AXIS))
-    repl = NamedSharding(mesh, P())
-    return ShardedDict(
-        keys=jax.device_put(keys, shard),
-        masks=jax.device_put(masks, shard),
-        boundaries=jax.device_put(bounds, repl),
-        ngenomes=pan_dict.ngenomes,
-        k=pan_dict.k,
-    )
+    def nbytes_row(self) -> int:
+        return (self.ngenomes + 7) // 8
 
 
 def _uniform_bounds(n_shards: int) -> np.ndarray:
-    """Mixed-key space is uniform, so shard boundaries are just equal
-    slices of the u64 range."""
-    return (np.arange(n_shards, dtype=np.uint64)
-            * np.uint64((1 << 64) // n_shards))
+    """Mixed-key space is uniform, so shard ownership boundaries are equal
+    slices of the u64 range (works for any S, not just powers of two)."""
+    return (np.arange(n_shards, dtype=U64)
+            * U64((1 << 64) // n_shards))
+
+
+def _local_probe(q: jax.Array, table: jax.Array, nbits: int, cap: int,
+                 nwords: int):
+    """One-wide-gather probe of a shard-local table.  q u64 [Q] mixed keys
+    (SENTINEL marks padding / invalid); bucket = low `nbits` bits."""
+    qhi = (q >> U64(32)).astype(jnp.uint32)
+    qlo = (q & U64(0xFFFFFFFF)).astype(jnp.uint32)
+    bucket = (q & U64((1 << nbits) - 1)).astype(jnp.int32)
+
+    rows = jnp.take(table, bucket, axis=0)             # [Q, stride]
+    slot_w = 2 + nwords
+    view = rows[:, : cap * slot_w].reshape(rows.shape[0], cap, slot_w)
+    hit = (view[:, :, 0] == qhi[:, None]) & (view[:, :, 1] == qlo[:, None])
+    hit = hit & (q != SENTINEL)[:, None]
+    sel = jnp.where(hit[:, :, None], view[:, :, 2:], jnp.uint32(0))
+    return sel.sum(axis=1, dtype=jnp.uint32)           # [Q, W]
 
 
 def _dispatch(values, tgt, n_shards, *payloads):
-    """Sort-by-destination capacity-C dispatch: returns ([S, C] buffers for
-    values and each payload, plus (order, tgt_s, slot) to un-dispatch)."""
+    """Sort-by-destination capacity-C dispatch: values u64 [C] scattered
+    into per-destination rows of a [S, C] buffer (padding = SENTINEL).
+    Returns (buffers, (order, tgt_s, slot)) — the tuple un-dispatches."""
     C = values.shape[0]
     order = jnp.argsort(tgt, stable=True)
     tgt_s = tgt[order]
     counts = jnp.bincount(tgt_s, length=n_shards)
     offsets = jnp.cumsum(counts) - counts
     slot = jnp.arange(C) - offsets[tgt_s]
-    bufs = []
-    buf = jnp.full((n_shards, C), SENTINEL, jnp.uint64).at[
-        tgt_s, slot].set(values[order])
-    bufs.append(buf)
+    bufs = [jnp.full((n_shards, C), SENTINEL, jnp.uint64).at[
+        tgt_s, slot].set(values[order])]
     for p in payloads:
-        pb = jnp.zeros((n_shards, C), p.dtype).at[tgt_s, slot].set(p[order])
-        bufs.append(pb)
+        bufs.append(jnp.zeros((n_shards, C), p.dtype).at[
+            tgt_s, slot].set(p[order]))
     return bufs, (order, tgt_s, slot)
 
 
 def _all_to_all(x, n_shards):
     out = jax.lax.all_to_all(x, DICT_AXIS, split_axis=0, concat_axis=0,
                              tiled=False)
-    return out.reshape(n_shards, -1)
+    return out.reshape(n_shards, *x.shape[1:])
 
 
-def _build_shard_body(keys, gids, nwords: int, n_shards: int, cap: int):
-    """shard_map body for the distributed dictionary build: route (key,
-    genome) pairs to their owning shard by mixed-key range (hash-bucket
-    all_to_all, SURVEY §5.8 P8a), then sort-merge locally into
-    (keys [cap], masks [cap, W], count)."""
+# ---------------------------------------------------------------- build --
+
+
+def _build_body(keys, gids, masks_in, *, nwords, n_shards, nbits, cap,
+                stride, merge_keys):
+    """shard_map body: route (key, genome-or-mask) entries to their owning
+    shard by mixed-key range (SURVEY §2.7 P8a), locally sort-merge into
+    distinct keys + presence masks, then lay out the local bucket table on
+    device.
+
+    Two modes: merge_keys=True takes (keys, gids) pairs from per-genome
+    sets and ORs one-hot contributions; merge_keys=False takes already-
+    merged (keys, masks_in) rows (re-sharding an existing dictionary)."""
     keys = keys.reshape(-1)
-    gids = gids.reshape(-1)
-    C = keys.shape[0]
-
     m = jnp.where(keys == SENTINEL, SENTINEL, mix64(keys))
     bounds = jnp.asarray(_uniform_bounds(n_shards))
     tgt = jnp.clip(jnp.searchsorted(bounds, m, side="right") - 1,
                    0, n_shards - 1).astype(jnp.int32)
 
-    (kbuf, gbuf), _ = _dispatch(m, tgt, n_shards, gids)
-    krecv = _all_to_all(kbuf, n_shards).reshape(-1)   # [S*C]
-    grecv = _all_to_all(gbuf, n_shards).reshape(-1)
+    if merge_keys:
+        gids = gids.reshape(-1)
+        (kbuf, gbuf), _ = _dispatch(m, tgt, n_shards, gids)
+        krecv = _all_to_all(kbuf, n_shards).reshape(-1)     # [S*C]
+        grecv = _all_to_all(gbuf, n_shards).reshape(-1)
 
-    # local merge (the logic of ops.dictionary._merge_sets)
-    ks, g = jax.lax.sort((krecv, grecv), num_keys=1)
-    real = ks != SENTINEL
-    is_start = jnp.concatenate(
-        [jnp.ones(1, bool), ks[1:] != ks[:-1]]) & real
-    seg = jnp.cumsum(is_start.astype(jnp.int32)) - 1
-    count = seg[-1] + 1
-    T = ks.shape[0]
+        # local sort-merge: group equal keys, OR their one-hot genome bits
+        # (deterministic segment reduction — no atomics, SURVEY §5.8)
+        ks, g = jax.lax.sort((krecv, grecv), num_keys=1)
+        real = ks != SENTINEL
+        is_start = jnp.concatenate(
+            [jnp.ones(1, bool), ks[1:] != ks[:-1]]) & real
+        seg = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+        count = seg[-1] + 1
+        T = ks.shape[0]
 
-    safe = jnp.where(real, ks, jnp.uint64(0))
-    out_keys = jax.ops.segment_max(safe, seg, num_segments=T)
-    out_keys = jnp.where(jnp.arange(T) < count, out_keys, SENTINEL)
+        safe = jnp.where(real, ks, jnp.uint64(0))
+        out_keys = jax.ops.segment_max(safe, seg, num_segments=T)
+        out_keys = jnp.where(jnp.arange(T) < count, out_keys, SENTINEL)
 
-    word = g // 32
-    bit = (jnp.uint32(1) << (g % 32).astype(jnp.uint32))
-    cols = []
-    for w in range(nwords):
-        contrib = jnp.where(real & (word == w), bit, jnp.uint32(0))
-        cols.append(jax.ops.segment_sum(contrib, seg, num_segments=T))
-    masks = jnp.stack(cols, axis=1)
-    masks = jnp.where((jnp.arange(T) < count)[:, None], masks,
-                      jnp.uint32(0))
+        word = g // 32
+        bit = (jnp.uint32(1) << (g % 32).astype(jnp.uint32))
+        cols = []
+        for w in range(nwords):
+            contrib = jnp.where(real & (word == w), bit, jnp.uint32(0))
+            cols.append(jax.ops.segment_sum(contrib, seg, num_segments=T))
+        out_masks = jnp.stack(cols, axis=1)
+        out_masks = jnp.where((jnp.arange(T) < count)[:, None], out_masks,
+                              jnp.uint32(0))
+    else:
+        masks_in = masks_in.reshape(-1, nwords)
+        payloads = tuple(masks_in[:, w] for w in range(nwords))
+        bufs, _ = _dispatch(m, tgt, n_shards, *payloads)
+        krecv = _all_to_all(bufs[0], n_shards).reshape(-1)
+        mrecv = jnp.stack(
+            [_all_to_all(b, n_shards).reshape(-1) for b in bufs[1:]], axis=1)
+        srt = jax.lax.sort((krecv,) + tuple(mrecv[:, w] for w in
+                                            range(nwords)), num_keys=1)
+        out_keys = srt[0]
+        out_masks = jnp.stack(srt[1:], axis=1)
+        count = jnp.sum(out_keys != SENTINEL).astype(jnp.int32)
 
-    return out_keys[:cap], masks[:cap], count[None]
+    bucket = (out_keys & U64((1 << nbits) - 1)).astype(jnp.int32)
+    table, overflow = layout_rows(out_keys, out_masks, bucket,
+                                  1 << nbits, cap, stride)
+    return (table, overflow[None], out_keys, out_masks,
+            count.astype(jnp.int64)[None])
+
+
+def _layout_params(total_keys: int, n_shards: int, nwords: int,
+                   extra_bits: int = 0):
+    """Per-shard bucket-table geometry from an upper bound on total keys."""
+    slot_w = 2 + nwords
+    stride = 64
+    while stride // slot_w < 3 * BucketedDict.MEAN_LOAD:
+        stride += 64
+    cap = stride // slot_w
+    per_shard = max(total_keys / max(n_shards, 1), 1)
+    nbits = max(int(np.ceil(np.log2(
+        max(per_shard / BucketedDict.MEAN_LOAD, 1)))), 2) + extra_bits
+    return nbits, cap, stride
 
 
 def sharded_build_dictionary(genome_sets, mesh, ngenomes: int, k: int,
-                             cap_factor: float = 2.5) -> "ShardedDict":
+                             return_host_dict: bool = False):
     """Distributed dictionary build over the mesh.
 
     genome_sets[g]: host numpy u64 distinct canonical keys of genome g.
-    Pairs are scattered round-robin across devices, routed to their owning
-    shard with all_to_all by mixed-key range, and merged locally — the
-    collective design SURVEY §2.7 P8 calls for.  Returns a ShardedDict in
-    mixed-key space (uniform range boundaries) directly usable by
-    sharded_anchor_step(mixed=True).
+    (key, genome-id) pairs are scattered round-robin across devices, routed
+    to owners via all_to_all, merged, and laid out into per-shard bucket
+    tables — the full collective design of SURVEY §2.7 P8.
+
+    Returns a ShardedBucketedDict; with return_host_dict=True also a
+    PanKmerDict in mixed key space (shard-major gather is globally sorted
+    by mixed key) for the on-disk pandict.npz artifact.
     """
     n = mesh.devices.size
     W = (ngenomes + 31) // 32
     total = int(sum(len(s) for s in genome_sets))
     per_dev = -(-max(total, 1) // n)
-    keys = np.full(n * per_dev, np.uint64(SENTINEL), np.uint64)
+    keys = np.full(n * per_dev, U64(SENTINEL), U64)
     gids = np.zeros(n * per_dev, np.int32)
     off = 0
     for g, s in enumerate(genome_sets):
@@ -190,160 +223,192 @@ def sharded_build_dictionary(genome_sets, mesh, ngenomes: int, k: int,
         gids[off : off + len(s)] = g
         off += len(s)
 
-    # a shard receives at most n*per_dev entries (everything); cap_factor
-    # covers hash imbalance without allocating the full worst case
-    cap = min(int(per_dev * cap_factor), n * per_dev)
     shard = NamedSharding(mesh, P(DICT_AXIS))
     kd = jax.device_put(keys.reshape(n, per_dev), shard)
     gd = jax.device_put(gids.reshape(n, per_dev), shard)
+    dummy_masks = jax.device_put(
+        np.zeros((n, 1, W), np.uint32), shard)
 
-    body = partial(_build_shard_body, nwords=W, n_shards=n, cap=cap)
+    for extra in range(6):
+        nbits, cap, stride = _layout_params(total, n, W, extra)
+        body = partial(_build_body, nwords=W, n_shards=n, nbits=nbits,
+                       cap=cap, stride=stride, merge_keys=True)
+        f = shard_map(
+            body, mesh=mesh,
+            in_specs=(P(DICT_AXIS), P(DICT_AXIS), P(DICT_AXIS)),
+            out_specs=(P(DICT_AXIS),) * 5,
+        )
+        tables, overflow, mkeys, mmasks, counts = jax.jit(f)(kd, gd,
+                                                             dummy_masks)
+        if int(np.asarray(overflow).sum()) == 0:
+            break
+    else:
+        raise RuntimeError("sharded build: bucket overflow persisted")
+
+    sbd = ShardedBucketedDict(
+        tables=tables.reshape(n, 1 << nbits, stride),
+        nbits=nbits, cap=cap, stride=stride, ngenomes=ngenomes, k=k,
+        nwords=W, n_shards=n,
+    )
+    if not return_host_dict:
+        return sbd
+
+    T = mkeys.shape[0] // n
+    mk = np.asarray(mkeys).reshape(n, T)
+    mm = np.asarray(mmasks).reshape(n, T, W)
+    cnts = np.asarray(counts).reshape(-1)
+    host_keys = np.concatenate([mk[i, : cnts[i]] for i in range(n)])
+    host_masks = np.concatenate([mm[i, : cnts[i]] for i in range(n)])
+    pan = PanKmerDict(host_keys, host_masks, ngenomes, k, key_space="mixed")
+    return sbd, pan
+
+
+def shard_dictionary(pan_dict: PanKmerDict, mesh) -> ShardedBucketedDict:
+    """Re-shard an existing (host) dictionary over the mesh: same routing
+    collective as the build, but keys arrive pre-merged with their masks."""
+    n = mesh.devices.size
+    D = len(pan_dict.keys)
+    W = pan_dict.masks.shape[1] if pan_dict.masks.ndim == 2 else 1
+    per_dev = -(-max(D, 1) // n)
+    keys = np.full(n * per_dev, U64(SENTINEL), U64)
+    masks = np.zeros((n * per_dev, W), np.uint32)
+    if pan_dict.key_space == "mixed":
+        # _build_body mixes on entry; feed the unmixed... mixed keys are
+        # not invertible cheaply here, so route them through a pass-thru:
+        # mix64 is a bijection, hence applying it again is just a
+        # different uniform placement — correct as long as probe-side
+        # mixing matches.  Instead keep ONE convention: bodies always mix
+        # canonical keys exactly once, so pre-mixed dicts must be unmixed
+        # first (splitmix64 finalizer is invertible).
+        keys[:D] = _unmix64_np(pan_dict.keys.astype(U64))
+    else:
+        keys[:D] = pan_dict.keys
+    masks[:D] = pan_dict.masks.reshape(D, W)
+
+    shard = NamedSharding(mesh, P(DICT_AXIS))
+    kd = jax.device_put(keys.reshape(n, per_dev), shard)
+    md = jax.device_put(masks.reshape(n, per_dev, W), shard)
+    dummy_gids = jax.device_put(np.zeros((n, 1), np.int32), shard)
+
+    for extra in range(6):
+        nbits, cap, stride = _layout_params(D, n, W, extra)
+        body = partial(_build_body, nwords=W, n_shards=n, nbits=nbits,
+                       cap=cap, stride=stride, merge_keys=False)
+        f = shard_map(
+            body, mesh=mesh,
+            in_specs=(P(DICT_AXIS), P(DICT_AXIS), P(DICT_AXIS)),
+            out_specs=(P(DICT_AXIS),) * 5,
+        )
+        tables, overflow, _, _, _ = jax.jit(f)(kd, dummy_gids, md)
+        if int(np.asarray(overflow).sum()) == 0:
+            break
+    else:
+        raise RuntimeError("shard_dictionary: bucket overflow persisted")
+
+    return ShardedBucketedDict(
+        tables=tables.reshape(n, 1 << nbits, stride),
+        nbits=nbits, cap=cap, stride=stride,
+        ngenomes=pan_dict.ngenomes, k=pan_dict.k, nwords=W, n_shards=n,
+    )
+
+
+_INV1 = U64(0x96DE1B173F119089)   # inverse of 0xBF58476D1CE4E5B9 mod 2^64
+_INV2 = U64(0x319642B2D24D8EC3)   # inverse of 0x94D049BB133111EB mod 2^64
+
+
+def _unmix64_np(x: np.ndarray) -> np.ndarray:
+    """Inverse of the splitmix64 finalizer (ops.lookup.mix64_np)."""
+    x = x.astype(U64, copy=True)
+    x ^= (x >> U64(31)) ^ (x >> U64(62))
+    x *= _INV2
+    x ^= (x >> U64(27)) ^ (x >> U64(54))
+    x *= _INV1
+    x ^= (x >> U64(30)) ^ (x >> U64(60))
+    return x
+
+
+# --------------------------------------------------------------- anchor --
+
+
+def _anchor_body(codes, table_l, *, k, n_shards, nbits, cap, stride,
+                 nwords, nbytes, capacity):
+    """shard_map body for one streamed anchor chunk.
+
+    codes u8 [C + k - 1]: this device's halo'd chromosome slice (padding
+    code 255 -> SENTINEL keys -> zero masks).  The device RLE-compacts its
+    own slice: output row i < count is [local_pos u32 LE | popc u16 LE |
+    mask bytes], the layout of ops/anchor.anchor_chunk_rle2 — the host
+    reconstructs per shard and concatenates (anchor.cpp:167-177's streamed
+    writes, without ever materialising full rows globally)."""
+    codes = codes.reshape(-1)
+    table_l = table_l.reshape(table_l.shape[-2], table_l.shape[-1])
+    canon, _ = pack_kmers(codes, k)
+    m = jnp.where(canon == SENTINEL, SENTINEL, mix64(canon))
+    C = m.shape[0]
+
+    bounds = jnp.asarray(_uniform_bounds(n_shards))
+    tgt = jnp.clip(jnp.searchsorted(bounds, m, side="right") - 1,
+                   0, n_shards - 1).astype(jnp.int32)
+    (buf,), undo = _dispatch(m, tgt, n_shards)
+    order, tgt_s, slot = undo
+
+    recv = _all_to_all(buf, n_shards)                  # [S, C] queries
+    rows = _local_probe(recv.reshape(-1), table_l, nbits, cap, nwords)
+    back = _all_to_all(rows.reshape(n_shards, C, nwords), n_shards)
+
+    rows_sorted = back[tgt_s, slot]                    # [C, W] sorted order
+    inv = jnp.zeros(C, jnp.int32).at[order].set(
+        jnp.arange(C, dtype=jnp.int32))
+    rows = rows_sorted[inv]                            # [C, W] position order
+
+    popc = jnp.sum(jax.lax.population_count(rows).astype(jnp.int32),
+                   axis=-1, dtype=jnp.int32)
+    shifts = np.array([0, 8, 16, 24], np.uint32)
+    by = ((rows[:, :, None] >> shifts[None, None, :]) & jnp.uint32(0xFF))
+    by = by.astype(jnp.uint8).reshape(C, 4 * nwords)[:, :nbytes]
+
+    change = jnp.concatenate([
+        jnp.ones(1, bool), jnp.any(rows[1:] != rows[:-1], axis=1)])
+    pos = jnp.cumsum(change.astype(jnp.int32)) - 1
+    count = pos[-1] + 1
+    slots = jnp.where(change & (pos < capacity), pos, capacity)
+
+    iota = jnp.arange(C, dtype=jnp.uint32)
+    pos_bytes = ((iota[:, None] >> shifts[None, :]) & 0xFF).astype(jnp.uint8)
+    popc_bytes = jnp.stack(
+        [(popc & 0xFF).astype(jnp.uint8),
+         ((popc >> 8) & 0xFF).astype(jnp.uint8)], axis=1)
+    payload = jnp.concatenate([pos_bytes, popc_bytes, by], axis=1)
+    out = jnp.zeros((capacity + 1, 6 + nbytes), jnp.uint8).at[slots].set(
+        payload, mode="drop")
+
+    return out[:capacity], count[None].astype(jnp.int64)
+
+
+def sharded_anchor_chunk(mesh, sbd: ShardedBucketedDict,
+                         codes_sharded: jax.Array, capacity: int):
+    """Distributed anchor step over one chunk.
+
+    codes_sharded u8 [S, C + k - 1]: per-device halo'd slices (device d
+    covers chunk-local positions [d*C, (d+1)*C)).  Returns
+    (combined u8 [S, capacity, 6 + nbytes], counts i64 [S]) — per-device
+    RLE buffers; decode with ops.anchor.unpack_rle2 per shard.
+    """
+    n = mesh.devices.size
+    body = partial(
+        _anchor_body, k=sbd.k, n_shards=n, nbits=sbd.nbits, cap=sbd.cap,
+        stride=sbd.stride, nwords=sbd.nwords, nbytes=sbd.nbytes_row,
+        capacity=capacity,
+    )
     f = shard_map(
         body, mesh=mesh,
         in_specs=(P(DICT_AXIS), P(DICT_AXIS)),
-        out_specs=(P(DICT_AXIS), P(DICT_AXIS), P(DICT_AXIS)),
+        out_specs=(P(DICT_AXIS), P(DICT_AXIS)),
     )
-    out_keys, out_masks, counts = jax.jit(f)(kd, gd)
-    counts = np.asarray(counts)
-    if np.any(counts > cap):
-        raise RuntimeError("sharded build: shard overflowed cap; "
-                           "increase cap_factor")
-
-    bounds = jax.device_put(_uniform_bounds(n), NamedSharding(mesh, P()))
-    return ShardedDict(
-        keys=out_keys.reshape(n, cap),
-        masks=out_masks.reshape(n, cap, W),
-        boundaries=bounds,
-        ngenomes=ngenomes,
-        k=k,
-        mixed=True,
-    )
-
-
-def _route_lookup(canon, keys_l, masks_l, boundaries, n_shards):
-    """Per-device body: dispatch canon queries to owning shards, look up,
-    return mask rows aligned with canon.  canon u64 [C]."""
-    C = canon.shape[0]
-    W = masks_l.shape[-1]
-
-    # destination shard of each query (SENTINEL -> last shard, harmless miss)
-    tgt = jnp.clip(
-        jnp.searchsorted(boundaries, canon, side="right") - 1, 0, n_shards - 1
-    ).astype(jnp.int32)
-
-    # stable sort by destination; contiguous runs per destination
-    order = jnp.argsort(tgt, stable=True)
-    tgt_s = tgt[order]
-    canon_s = canon[order]
-    counts = jnp.bincount(tgt_s, length=n_shards)
-    offsets = jnp.cumsum(counts) - counts
-    slot = jnp.arange(C) - offsets[tgt_s]
-
-    # capacity-C dispatch buffer [S, C]
-    buf = jnp.full((n_shards, C), SENTINEL, jnp.uint64).at[tgt_s, slot].set(canon_s)
-
-    # route queries to owners
-    recv = jax.lax.all_to_all(buf, DICT_AXIS, split_axis=0, concat_axis=0,
-                              tiled=False)
-    recv = recv.reshape(n_shards, C)
-
-    # local lookup (keys_l sorted, SENTINEL-padded)
-    q = recv.reshape(-1)
-    cap = keys_l.shape[0]
-    idx = jnp.clip(jnp.searchsorted(keys_l, q), 0, cap - 1)
-    hit = (keys_l[idx] == q) & (q != SENTINEL)
-    rows = jnp.where(hit[:, None], masks_l[idx], jnp.uint32(0))
-    rows = rows.reshape(n_shards, C, W)
-
-    # route results back to requesters
-    back = jax.lax.all_to_all(rows, DICT_AXIS, split_axis=0, concat_axis=0,
-                              tiled=False)
-    back = back.reshape(n_shards, C, W)
-
-    # un-dispatch: my query i (sorted order) lives at [tgt_s[i], slot[i]]
-    rows_sorted = back[tgt_s, slot]
-    inv = jnp.zeros(C, jnp.int32).at[order].set(jnp.arange(C, dtype=jnp.int32))
-    return rows_sorted[inv]
-
-
-def _anchor_step_body(codes, keys_l, masks_l, boundaries, k, n_shards,
-                      ngenomes, binlen, nbins_local, mixed=False,
-                      total_positions=None):
-    """shard_map body: codes u8 [C + k - 1] (this device's halo'd slice).
-
-    Returns (rows u32 [C, W], popc i32 [C], colsums i64 [N] psum'd,
-    hist i64 [nbins_local, N+1] for this device's local bins)."""
-    codes = codes.reshape(-1)
-    keys_l = keys_l.reshape(-1)                      # local [1, cap] -> [cap]
-    masks_l = masks_l.reshape(masks_l.shape[-2], masks_l.shape[-1])
-    canon, _ = pack_kmers(codes, k)
-    if mixed:
-        canon = jnp.where(canon == SENTINEL, SENTINEL, mix64(canon))
-    rows = _route_lookup(canon, keys_l, masks_l, boundaries, n_shards)
-    popc = jnp.sum(jax.lax.population_count(rows).astype(jnp.int32), axis=-1)
-
-    # per-genome totals, reduced across all devices (deterministic psum)
-    sums = []
-    for g in range(ngenomes):
-        w, bit = divmod(g, 32)
-        sums.append(jnp.sum(((rows[:, w] >> np.uint32(bit)) & 1).astype(jnp.int64)))
-    colsums = jax.lax.psum(jnp.stack(sums), DICT_AXIS)
-
-    # local occupancy histogram over this device's contiguous bins; halo
-    # padding positions (beyond the real sequence) are routed to a trash
-    # slot so they don't inflate the occupancy-0 count of the last bin
-    C = popc.shape[0]
-    bins = (jnp.arange(C) // binlen).astype(jnp.int32)
-    flat = bins * (ngenomes + 1) + popc
-    if total_positions is not None:
-        my_start = jax.lax.axis_index(DICT_AXIS).astype(jnp.int64) * C
-        real = my_start + jnp.arange(C) < total_positions
-        flat = jnp.where(real, flat, nbins_local * (ngenomes + 1))
-    hist = jnp.zeros(nbins_local * (ngenomes + 1) + 1,
-                     jnp.int64).at[flat].add(1, mode="drop")
-    hist = hist[:-1].reshape(nbins_local, ngenomes + 1)
-
-    return rows, popc, colsums, hist
-
-
-def sharded_anchor_step(mesh, sd: ShardedDict, codes_sharded: jax.Array,
-                        binlen: int, total_positions: int | None = None):
-    """Jit-compiled distributed anchor step.
-
-    codes_sharded: u8 [n_shards, C + k - 1] — per-device halo'd sequence
-    slices (device d's slice covers positions [d*C, (d+1)*C)).
-    binlen must divide C (pad the sequence so it does).
-
-    Returns (rows [n*C, W] u32, popc [n*C] i32, colsums [N] i64,
-    hist [n*nbins_local, N+1] i64) as global (addressable) arrays.
-    """
-    n = mesh.devices.size
-    C = codes_sharded.shape[1] - (sd.k - 1)
-    if C % binlen != 0:
-        raise ValueError(f"binlen {binlen} must divide per-device chunk {C}")
-    nbins_local = C // binlen
-
-    body = partial(
-        _anchor_step_body,
-        k=sd.k,
-        n_shards=n,
-        ngenomes=sd.ngenomes,
-        binlen=binlen,
-        nbins_local=nbins_local,
-        mixed=sd.mixed,
-        total_positions=total_positions,
-    )
-
-    f = shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(P(DICT_AXIS), P(DICT_AXIS), P(DICT_AXIS), P()),
-        out_specs=(P(DICT_AXIS), P(DICT_AXIS), P(), P(DICT_AXIS)),
-    )
-    rows, popc, colsums, hist = jax.jit(f)(
-        codes_sharded, sd.keys, sd.masks, sd.boundaries
-    )
-    return rows, popc, colsums, hist
+    combined, counts = jax.jit(f)(codes_sharded, sbd.tables)
+    C = codes_sharded.shape[1] - (sbd.k - 1)
+    return combined.reshape(n, capacity, 6 + sbd.nbytes_row), \
+        counts.reshape(n), C
 
 
 def make_halo_chunks(codes: np.ndarray, n_shards: int, k: int,

@@ -179,6 +179,43 @@ def build_dict_device(index: Index, force=False) -> str:
     return out
 
 
+def build_dict_mesh(index: Index, mesh, force=False):
+    """Mesh dict stage: merge the per-genome k-mer sets with the
+    DISTRIBUTED builder (all_to_all routing + on-device bucket layout,
+    parallel/shard.py) and persist the host mirror as pandict.npz (mixed
+    key space) for resume + the distance stage.
+
+    Returns (ShardedBucketedDict, PanKmerDict)."""
+    from .parallel.shard import shard_dictionary, sharded_build_dictionary
+
+    out = index.dict_fname
+    set_files = [index.kmer_set_fname(n) for n in index.genome_names
+                 if index.genomes[n].fasta is not None]
+    if not force and _outputs_fresh([out], set_files):
+        pan = PanKmerDict.load(out)
+        return shard_dictionary(pan, mesh), pan
+
+    t0 = time.time()
+    sets = []
+    for name in index.genome_names:
+        if index.genomes[name].fasta is None:
+            sets.append(np.zeros(0, np.uint64))
+            continue
+        f = index.kmer_set_fname(name)
+        z = np.load(f)
+        if int(z["k"]) != index.k:
+            raise ValueError(f"{f}: k={int(z['k'])} != index k={index.k}")
+        sets.append(z["kmers"])
+    sbd, pan = sharded_build_dictionary(
+        sets, mesh, ngenomes=index.ngenomes, k=index.k,
+        return_host_dict=True)
+    pan.save(out)
+    _benchmark(index.prefix, "dict", t0)
+    logger.info(f"mesh dictionary: {len(pan)} keys x {pan.nwords} words "
+                f"over {mesh.devices.size} devices")
+    return sbd, pan
+
+
 def build_dict_stage(index: Index, force=False) -> str:
     out = index.dict_fname
     # only genomes with sequence data have k-mer sets (annotation-only rows
@@ -208,7 +245,8 @@ def build_dict_stage(index: Index, force=False) -> str:
 
 
 def anchor_stage(index: Index, name: str, pan_dict=None, force=False,
-                 bucketed=None, per_stage_logfile=True):
+                 bucketed=None, per_stage_logfile=True, mesh=None,
+                 sharded=None):
     g = index.genomes[name]
     outs = [g.chrs_fname, g.bins_fname] + [
         g.bitmap_gz_fname(s) for s in index.steps
@@ -217,7 +255,7 @@ def anchor_stage(index: Index, name: str, pan_dict=None, force=False,
     if not force and _outputs_fresh(outs, ins):
         return
     t0 = time.time()
-    if pan_dict is None:
+    if pan_dict is None and sharded is None:
         pan_dict = PanKmerDict.load(index.dict_fname)
     # per-stage logfiles re-point the root logger (basicConfig force); in
     # threaded runs keep the shared stderr logger instead
@@ -225,7 +263,8 @@ def anchor_stage(index: Index, name: str, pan_dict=None, force=False,
     if per_stage_logfile:
         log = os.path.join(index.prefix, "logs", f"anchor.{name}.log.txt")
         os.makedirs(os.path.dirname(log), exist_ok=True)
-    g.run_anchor(pan_dict, logfile=log, bucketed=bucketed)
+    g.run_anchor(pan_dict, logfile=log, bucketed=bucketed, mesh=mesh,
+                 sharded=sharded)
     _benchmark(index.prefix, f"anchor.{name}", t0)
 
 
@@ -242,14 +281,21 @@ def dist_stage(index: Index, pan_dict=None, force=False) -> str:
 
 
 def build_index(samples_or_dir: str, prefix=None, force=False,
-                device_dict=False, **params) -> Index:
+                device_dict=False, mesh_devices=None, **params) -> Index:
     """Run the full build DAG.  `samples_or_dir` is a samples.tsv (fresh
     build) or an initialized index dir (resume).  device_dict=True streams
-    counting+merge entirely on device (no per-genome set artifacts)."""
+    counting+merge entirely on device (no per-genome set artifacts).
+    mesh_devices=N runs the dictionary merge AND anchoring on the
+    N-device distributed engine (parallel/shard.py) — the production
+    multi-chip path; outputs are byte-identical to the single-device
+    build (tests/test_parallel.py)."""
     index = Index(samples_or_dir, mode="w", prefix=prefix, **params)
     logdir = os.path.join(index.prefix, "logs")
     os.makedirs(logdir, exist_ok=True)
     init_logger()
+
+    if mesh_devices:
+        return _build_index_mesh(index, mesh_devices, force)
 
     if device_dict:
         build_dict_device(index, force=force)
@@ -289,4 +335,33 @@ def build_index(samples_or_dir: str, prefix=None, force=False,
 
     dist_stage(index, pan_dict, force=force)
 
+    return Index(index.prefix)
+
+
+def _build_index_mesh(index: Index, mesh_devices: int, force: bool) -> Index:
+    """The distributed build DAG: count per genome (cached artifacts),
+    merge + lay out the dictionary across the mesh, anchor every genome
+    through the sharded engine, then distances from the host mirror."""
+    import jax
+
+    from .parallel import make_mesh
+
+    if len(jax.devices()) < mesh_devices:
+        raise RuntimeError(
+            f"--mesh {mesh_devices}: only {len(jax.devices())} devices "
+            "visible (for a virtual CPU mesh set XLA_FLAGS="
+            f"--xla_force_host_platform_device_count={mesh_devices})")
+    mesh = make_mesh(mesh_devices)
+
+    for name in index.genome_names:
+        if index.genomes[name].fasta is not None:
+            count_genome(index, name, force=force)
+
+    sbd, pan_dict = build_dict_mesh(index, mesh, force=force)
+
+    for name in index.anchor_genomes:
+        anchor_stage(index, name, pan_dict, force=force, mesh=mesh,
+                     sharded=sbd)
+
+    dist_stage(index, pan_dict, force=force)
     return Index(index.prefix)

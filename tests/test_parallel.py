@@ -1,133 +1,170 @@
-"""Distributed engine tests on the 8-device virtual CPU mesh."""
+"""Distributed engine tests on the 8-device virtual CPU mesh.
+
+The distributed engine (parallel/shard.py) is the PRODUCTION multi-chip
+path: the last test drives the full CLI build over the mesh and requires
+byte-identical index output vs the single-device build."""
 
 import numpy as np
 import pytest
 
 from panagram_tpu.io.fasta import seq_to_codes
+from panagram_tpu.ops.anchor import rle2_colsums, unpack_rle2
 from panagram_tpu.ops.dictionary import build_dictionary
+from panagram_tpu.ops.lookup import mix64_np
 from panagram_tpu.ops.ref_impl import (
     anchor_np,
     genome_kmer_set,
     popcount_np,
 )
-from panagram_tpu.parallel import make_mesh, shard_dictionary, sharded_anchor_step
-from panagram_tpu.parallel.shard import make_halo_chunks
+from panagram_tpu.parallel import (
+    make_halo_chunks,
+    make_mesh,
+    shard_dictionary,
+    sharded_anchor_chunk,
+    sharded_build_dictionary,
+)
 from tests.conftest import random_seq
 
 K = 11
+NG = 5
 
 
 @pytest.fixture(scope="module")
 def setup():
     rng = np.random.default_rng(7)
-    seqs = [random_seq(rng, 1200, n_frac=0.01) for _ in range(5)]
+    seqs = [random_seq(rng, 1200, n_frac=0.01) for _ in range(NG)]
     sets = [genome_kmer_set([s], K) for s in seqs]
     d = build_dictionary(sets, K)
     mesh = make_mesh(8)
-    sd = shard_dictionary(d, mesh)
-    return dict(seqs=seqs, d=d, mesh=mesh, sd=sd)
+    sbd, pan = sharded_build_dictionary(sets, mesh, ngenomes=NG, k=K,
+                                        return_host_dict=True)
+    return dict(seqs=seqs, sets=sets, d=d, mesh=mesh, sbd=sbd, pan=pan)
 
 
-def test_shard_dictionary_covers_all_keys(setup):
-    sd, d = setup["sd"], setup["d"]
-    keys = np.asarray(sd.keys).reshape(-1)
-    keys = keys[keys != np.uint64(0xFFFFFFFFFFFFFFFF)]
-    assert np.array_equal(np.sort(keys), d.keys)
+def test_sharded_build_matches_host_merge(setup):
+    """all_to_all build == host merge: shard-major gather of the mixed
+    keys is globally sorted, masks aligned."""
+    d, pan = setup["d"], setup["pan"]
+    mixed = mix64_np(d.keys)
+    order = np.argsort(mixed)
+    assert pan.key_space == "mixed"
+    assert np.array_equal(pan.keys, mixed[order])
+    assert np.array_equal(pan.masks, d.masks[order])
 
 
-def test_sharded_anchor_matches_oracle(setup):
-    mesh, sd, d = setup["mesh"], setup["sd"], setup["d"]
-    seq = setup["seqs"][0]
+def _decode(combined, counts, C, nbytes, nk, ngenomes):
+    comb = np.asarray(combined)
+    cnts = np.asarray(counts)
+    parts_by, parts_popc = [], []
+    colsums = np.zeros(ngenomes, np.int64)
+    for dd in range(comb.shape[0]):
+        real = min(max(nk - dd * C, 0), C)
+        if real == 0:
+            break
+        by, popc = unpack_rle2(comb[dd], int(cnts[dd]), C, nbytes)
+        parts_by.append(by[:real])
+        parts_popc.append(popc[:real])
+        colsums += rle2_colsums(comb[dd], int(cnts[dd]), C, ngenomes)
+    return (np.concatenate(parts_by), np.concatenate(parts_popc), colsums)
+
+
+@pytest.mark.parametrize("si", [0, 2])
+def test_sharded_anchor_matches_oracle(setup, si):
+    mesh, sbd, d = setup["mesh"], setup["sbd"], setup["d"]
+    seq = setup["seqs"][si]
     codes = seq_to_codes(seq)
 
     want_rows = anchor_np(seq, K, d.keys, d.masks)
     want_popc = popcount_np(want_rows)
+    want_bits = np.unpackbits(want_rows.astype("<u4").view(np.uint8),
+                              axis=1, bitorder="little")[:, :NG]
 
     chunks, nk = make_halo_chunks(codes, 8, K, chunk_per_dev=160)
-    rows, popc, colsums, hist = sharded_anchor_step(mesh, sd, chunks,
-                                                    binlen=40,
-                                                    total_positions=nk)
-
-    rows = np.asarray(rows)[:nk]
-    popc = np.asarray(popc)[:nk]
-    assert np.array_equal(rows, want_rows)
+    combined, counts, C = sharded_anchor_chunk(mesh, sbd, chunks,
+                                               capacity=160)
+    by, popc, colsums = _decode(combined, counts, C, sbd.nbytes_row, nk, NG)
+    want_by = np.packbits(
+        np.pad(want_bits, ((0, 0), (0, 8 * sbd.nbytes_row - NG))),
+        axis=1, bitorder="little")
+    assert np.array_equal(by, want_by)
     assert np.array_equal(popc, want_popc)
-
-    # psum'd per-genome totals == oracle column sums
-    bits = np.unpackbits(want_rows.astype("<u4").view(np.uint8), axis=1,
-                         bitorder="little")[:, :5]
-    assert np.array_equal(np.asarray(colsums), bits.sum(axis=0))
-
-    # histograms: concatenated local bins == global binning, including the
-    # partial tail bin (halo padding must not inflate occupancy 0)
-    hist = np.asarray(hist).reshape(-1, 6)
-    binlen = 40
-    for b in range(-(-nk // binlen)):
-        seg = want_popc[b * binlen : (b + 1) * binlen]
-        assert np.array_equal(hist[b], np.bincount(seg, minlength=6)), b
-    assert hist[-(-nk // binlen):].sum() == 0
+    assert np.array_equal(colsums, want_bits.sum(axis=0))
 
 
-def test_sharded_anchor_multi_chrom_positions(setup):
-    """Positions crossing device boundaries keep exact halo semantics."""
-    mesh, sd, d = setup["mesh"], setup["sd"], setup["d"]
-    seq = setup["seqs"][2]
-    codes = seq_to_codes(seq)
-    want = anchor_np(seq, K, d.keys, d.masks)
-    chunks, nk = make_halo_chunks(codes, 8, K)
-    rows, popc, _, _ = sharded_anchor_step(mesh, sd, chunks,
-                                           binlen=chunks.shape[1] - K + 1)
-    assert np.array_equal(np.asarray(rows)[:nk], want)
-
-
-def test_sharded_build_dictionary(setup):
-    """all_to_all hash-bucket dictionary build matches the host merge."""
-    import numpy as np
-
-    from panagram_tpu.ops.lookup import mix64_np
-    from panagram_tpu.ops.ref_impl import genome_kmer_set
-    from panagram_tpu.parallel.shard import sharded_build_dictionary
-
-    mesh, d = setup["mesh"], setup["d"]
-    seqs = setup["seqs"]
-    sets = [genome_kmer_set([s], K) for s in seqs]
-    sd = sharded_build_dictionary(sets, mesh, ngenomes=5, k=K)
-    assert sd.mixed
-
-    keys = np.asarray(sd.keys).reshape(-1)
-    masks = np.asarray(sd.masks).reshape(-1, 1)
-    real = keys != np.uint64(0xFFFFFFFFFFFFFFFF)
-    got_keys = keys[real]
-    got_masks = masks[real]
-
-    mixed = mix64_np(d.keys)
-    order = np.argsort(mixed)
-    # shard-major concatenation is globally sorted in mixed space
-    assert np.array_equal(got_keys, mixed[order])
-    assert np.array_equal(got_masks, d.masks[order])
-
-
-def test_sharded_anchor_on_sharded_build(setup):
-    """End-to-end distributed: build dict via all_to_all, anchor via
-    all_to_all routing, compare to the single-device oracle."""
-    import numpy as np
-
-    from panagram_tpu.io.fasta import seq_to_codes
-    from panagram_tpu.ops.ref_impl import anchor_np, genome_kmer_set
-    from panagram_tpu.parallel.shard import (
-        make_halo_chunks,
-        sharded_build_dictionary,
-    )
-
-    mesh, d = setup["mesh"], setup["d"]
-    seqs = setup["seqs"]
-    sets = [genome_kmer_set([s], K) for s in seqs]
-    sd = sharded_build_dictionary(sets, mesh, ngenomes=5, k=K)
-
-    seq = seqs[1]
-    codes = seq_to_codes(seq)
-    want = anchor_np(seq, K, d.keys, d.masks)
+def test_sharded_anchor_small_capacity_overflow_detectable(setup):
+    """With a tiny RLE capacity the per-device counts exceed it — the
+    production path then redoes the chunk at full capacity; here we only
+    check overflow is visible, never silent."""
+    mesh, sbd = setup["mesh"], setup["sbd"]
+    codes = seq_to_codes(setup["seqs"][1])
     chunks, nk = make_halo_chunks(codes, 8, K, chunk_per_dev=160)
-    rows, popc, colsums, hist = sharded_anchor_step(mesh, sd, chunks,
-                                                    binlen=40)
-    assert np.array_equal(np.asarray(rows)[:nk], want)
+    _, counts, _ = sharded_anchor_chunk(mesh, sbd, chunks, capacity=8)
+    assert np.asarray(counts).max() > 8
+
+
+def test_shard_existing_dictionary_both_key_spaces(setup):
+    """Re-sharding a host dictionary (canon or mixed keys) probes
+    identically to the distributed build's tables."""
+    mesh, d, pan = setup["mesh"], setup["d"], setup["pan"]
+    codes = seq_to_codes(setup["seqs"][3])
+    want = popcount_np(anchor_np(setup["seqs"][3], K, d.keys, d.masks))
+    chunks, nk = make_halo_chunks(codes, 8, K, chunk_per_dev=160)
+
+    for src in (d, pan):
+        sbd = shard_dictionary(src, mesh)
+        combined, counts, C = sharded_anchor_chunk(mesh, sbd, chunks,
+                                                   capacity=160)
+        _, popc, _ = _decode(combined, counts, C, sbd.nbytes_row, nk, NG)
+        assert np.array_equal(popc, want), src.key_space
+
+
+def test_mesh_cli_build_byte_identical(tmp_path):
+    """END-TO-END: `panagram_tpu index --mesh 8` must produce an index
+    byte-identical to the single-device build (VERDICT r1 item 1)."""
+    from panagram_tpu.__main__ import main as cli_main
+    from panagram_tpu.io.bgzf import decompress_file
+
+    rng = np.random.default_rng(99)
+    fa_dir = tmp_path / "fa"
+    fa_dir.mkdir()
+    base = random_seq(rng, 2500, n_frac=0.005)
+    other = random_seq(rng, 900)
+
+    def mutate(seq, n):
+        s = list(seq)
+        for i in rng.choice(len(s), n, replace=False):
+            s[i] = "ACGT"[rng.integers(4)]
+        return "".join(s)
+
+    genomes = {
+        "a1": {"c1": base, "c2": other},
+        "a2": {"c1": mutate(base, 50), "c2": mutate(other, 20)},
+        "a3": {"c1": mutate(base, 25)},
+    }
+    for name, chrs in genomes.items():
+        with open(fa_dir / f"{name}.fa", "w") as f:
+            for c, seq in chrs.items():
+                f.write(f">{c}\n")
+                for i in range(0, len(seq), 60):
+                    f.write(seq[i : i + 60] + "\n")
+    samples = tmp_path / "samples.tsv"
+    samples.write_text("name\tfasta\n" + "".join(
+        f"{n}\t{fa_dir}/{n}.fa\n" for n in genomes))
+
+    single = tmp_path / "single"
+    meshed = tmp_path / "meshed"
+    cli_main(["index", str(samples), "-o", str(single), "-k", str(K)])
+    cli_main(["index", str(samples), "-o", str(meshed), "-k", str(K),
+              "--mesh", "8"])
+
+    for g in genomes:
+        for fn in ["bitmap.1.gz", "bitmap.100.gz"]:
+            a = decompress_file(str(single / "anchor" / g / fn))
+            b = decompress_file(str(meshed / "anchor" / g / fn))
+            assert a == b, f"{g}/{fn}"
+        for fn in ["chrs.tsv", "bitsum.bins.tsv", "total_paircounts.csv"]:
+            a = (single / "anchor" / g / fn).read_bytes()
+            b = (meshed / "anchor" / g / fn).read_bytes()
+            assert a == b, f"{g}/{fn}"
+    assert (single / "genome_dist.tsv").read_bytes() == \
+        (meshed / "genome_dist.tsv").read_bytes()
