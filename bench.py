@@ -149,22 +149,41 @@ def main():
     device_rate = total / dt
     _log(f"bench: device {device_rate/1e6:.2f} Mkmers/s")
 
-    # CPU reference baseline on a sample (same computation in numpy)
-    from panagram_tpu.ops.ref_impl import (
-        anchor_np,
-        masks_to_bytes_np,
-        popcount_np,
-    )
+    # CPU baseline: the multithreaded C++ open-addressed-hash anchorer
+    # (panagram_tpu/native/anchor_cpu.cpp) standing in for KMC +
+    # cpp/run_anchor — strictly FAVOURABLE to the reference (hash probe
+    # beats KMC's prefix/suffix binary search), so vs_baseline is an
+    # honest-or-pessimistic ratio (BASELINE.md "fix the baseline honesty").
+    ncores = os.cpu_count() or 1
+    cpu_len = (1 << 18 if quick else seq_len) - k + 1
+    try:
+        from panagram_tpu.native.anchor_cpu import CpuAnchorer
 
-    sample = 1 << 16 if quick else 1 << 19
-    seq = "".join("ACGT"[c] for c in anchor_codes[: sample + k - 1])
-    t0 = time.perf_counter()
-    rows = anchor_np(seq, k, d.keys, d.masks)
-    _ = masks_to_bytes_np(rows, nbytes)
-    _ = popcount_np(rows)
-    cpu_dt = time.perf_counter() - t0
-    cpu_rate = sample / cpu_dt
-    _log(f"bench: cpu reference {cpu_rate/1e6:.2f} Mkmers/s")
+        ca = CpuAnchorer(d.keys, d.masks)
+        t0 = time.perf_counter()
+        ca.anchor(anchor_codes[: cpu_len + k - 1], k, nbytes,
+                  threads=ncores)
+        cpu_dt = time.perf_counter() - t0
+        cpu_rate = cpu_len / cpu_dt
+        _log(f"bench: cpu baseline (C++ hash, {ncores} threads) "
+             f"{cpu_rate/1e6:.2f} Mkmers/s")
+    except OSError:
+        _log("bench: WARNING libanchor_cpu.so not built "
+             "(make -C panagram_tpu/native); falling back to numpy")
+        from panagram_tpu.ops.ref_impl import (
+            anchor_np,
+            masks_to_bytes_np,
+            popcount_np,
+        )
+
+        sample = 1 << 16 if quick else 1 << 19
+        seq = "".join("ACGT"[c] for c in anchor_codes[: sample + k - 1])
+        t0 = time.perf_counter()
+        rows = anchor_np(seq, k, d.keys, d.masks)
+        _ = masks_to_bytes_np(rows, nbytes)
+        _ = popcount_np(rows)
+        cpu_rate = sample / (time.perf_counter() - t0)
+        _log(f"bench: numpy fallback {cpu_rate/1e6:.2f} Mkmers/s")
 
     print(json.dumps({
         "metric": "anchor_kmers_per_s",

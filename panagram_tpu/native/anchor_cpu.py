@@ -1,0 +1,71 @@
+"""ctypes bindings for libanchor_cpu.so — the CPU baseline anchorer.
+
+Importing raises OSError if the library has not been built
+(`make -C panagram_tpu/native`); bench.py catches that and falls back to
+the (slower) numpy oracle baseline with a warning.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.realpath(__file__))
+_LIB_PATH = os.path.join(_DIR, "libanchor_cpu.so")
+
+_lib = ctypes.CDLL(_LIB_PATH)  # raises OSError when not built
+
+_lib.acpu_build.restype = ctypes.c_void_p
+_lib.acpu_build.argtypes = [
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int,
+]
+_lib.acpu_free.restype = None
+_lib.acpu_free.argtypes = [ctypes.c_void_p]
+_lib.acpu_anchor.restype = None
+_lib.acpu_anchor.argtypes = [
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int,
+    ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+]
+
+
+class CpuAnchorer:
+    """Multithreaded CPU anchoring over an open-addressed hash dictionary.
+
+    keys must be CANONICAL k-mer values (not splitmix-mixed)."""
+
+    def __init__(self, keys: np.ndarray, masks: np.ndarray):
+        keys = np.ascontiguousarray(keys, np.uint64)
+        masks = np.ascontiguousarray(masks, np.uint32)
+        if masks.ndim == 1:
+            masks = masks[:, None]
+        self.nwords = masks.shape[1]
+        if self.nwords > 8:
+            raise ValueError("CpuAnchorer supports up to 256 genomes")
+        self._h = _lib.acpu_build(
+            keys.ctypes.data_as(ctypes.c_void_p),
+            masks.ctypes.data_as(ctypes.c_void_p),
+            len(keys), self.nwords)
+
+    def anchor(self, codes: np.ndarray, k: int, nbytes: int,
+               threads: int | None = None):
+        """codes u8 [L] -> (bytes u8 [P, nbytes], popc i32 [P])."""
+        codes = np.ascontiguousarray(codes, np.uint8)
+        P = len(codes) - k + 1
+        if P <= 0:
+            return (np.zeros((0, nbytes), np.uint8), np.zeros(0, np.int32))
+        out_b = np.empty((P, nbytes), np.uint8)
+        out_p = np.empty(P, np.int32)
+        _lib.acpu_anchor(
+            self._h, codes.ctypes.data_as(ctypes.c_void_p), len(codes), k,
+            nbytes, out_b.ctypes.data_as(ctypes.c_void_p),
+            out_p.ctypes.data_as(ctypes.c_void_p),
+            threads if threads else (os.cpu_count() or 1))
+        return out_b, out_p
+
+    def __del__(self):
+        try:
+            _lib.acpu_free(self._h)
+        except Exception:
+            pass

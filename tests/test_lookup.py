@@ -188,3 +188,35 @@ def test_anchor_chunk_rle2(rng):
                          bitorder="little")
     assert np.array_equal(rle2_colsums(combined_host, count, P, ngenomes),
                           bits[:, :ngenomes].sum(axis=0))
+
+
+def test_cpu_anchorer_matches_oracle():
+    """The C++ baseline anchorer (bench.py's honest CPU stand-in) must be
+    byte-exact vs the numpy oracle — a wrong baseline is no baseline."""
+    pytest.importorskip("panagram_tpu.native.anchor_cpu",
+                        reason="libanchor_cpu.so not built")
+    import numpy as np
+
+    from panagram_tpu.io.fasta import seq_to_codes
+    from panagram_tpu.native.anchor_cpu import CpuAnchorer
+    from panagram_tpu.ops.ref_impl import (
+        anchor_np,
+        build_dict_np,
+        genome_kmer_set,
+        masks_to_bytes_np,
+        popcount_np,
+    )
+    from tests.conftest import random_seq
+
+    rng = np.random.default_rng(11)
+    K = 21
+    seqs = [random_seq(rng, 4000, n_frac=0.01) for _ in range(34)]
+    sets = [genome_kmer_set([s], K) for s in seqs]
+    keys, masks = build_dict_np(sets)  # 34 genomes -> 2 mask words
+    ca = CpuAnchorer(keys, masks)
+    nbytes = (34 + 7) // 8
+    for seq in seqs[:3]:
+        want = anchor_np(seq, K, keys, masks)
+        by, popc = ca.anchor(seq_to_codes(seq), K, nbytes, threads=2)
+        assert np.array_equal(by, masks_to_bytes_np(want, nbytes))
+        assert np.array_equal(popc, popcount_np(want))
