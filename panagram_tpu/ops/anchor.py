@@ -19,6 +19,22 @@ import numpy as np
 from .codec import SENTINEL, pack_kmers
 
 
+def _query(canon, table, nbits: int, cap: int, nwords: int):
+    """Dictionary probe used by every anchor_chunk_* kernel.
+
+    PANAGRAM_TPU_PALLAS=1 selects the Pallas merge probe
+    (lookup.bucket_query_sorted: sort + streamed table DMA) over the wide
+    random gather.  The flag is read at TRACE time — flipping it after a
+    chunk shape has compiled keeps the cached program (acceptable: the env
+    is process-lifetime configuration, set before the pipeline starts)."""
+    from .lookup import bucket_query, bucket_query_sorted
+    from .pallas_kernels import pallas_enabled
+
+    if pallas_enabled():
+        return bucket_query_sorted(canon, table, nbits, cap, nwords)
+    return bucket_query(canon, table, nbits, cap, nwords)
+
+
 @jax.jit
 def anchor_lookup(canon: jax.Array, keys: jax.Array, masks: jax.Array):
     """canon u64 [P]; keys u64 [D] sorted (may be SENTINEL-padded);
@@ -94,11 +110,10 @@ def anchor_chunk_fast(packed: jax.Array, nmask: jax.Array,
     Minimises host<->device traffic: input is 0.375 B/base, outputs are
     nbytes/position + tiny reductions (SURVEY §7.4.5)."""
     from .codec import unpack_bases
-    from .lookup import bucket_query
 
     codes = unpack_bases(packed, nmask, L)
     canon, _ = pack_kmers(codes, k)
-    rows = bucket_query(canon, table, nbits, cap, nwords)
+    rows = _query(canon, table, nbits, cap, nwords)
     popc = mask_popcount(rows)
     by = masks_to_bytes(rows)[:, :nbytes]
     colsums = _colsum_list(rows, 32 * nwords)
@@ -122,11 +137,10 @@ def anchor_chunk_rle(packed: jax.Array, nmask: jax.Array,
     falls back to anchor_chunk_fast.
     """
     from .codec import unpack_bases
-    from .lookup import bucket_query
 
     codes = unpack_bases(packed, nmask, L)
     canon, _ = pack_kmers(codes, k)
-    rows = bucket_query(canon, table, nbits, cap, nwords)
+    rows = _query(canon, table, nbits, cap, nwords)
     P = rows.shape[0]
     popc = mask_popcount(rows)
     by = masks_to_bytes(rows)[:, :nbytes]
@@ -167,14 +181,13 @@ def anchor_chunk_rle2(inbuf: jax.Array, table: jax.Array,
     rle2_colsums the per-genome totals.
     """
     from .codec import unpack_bases
-    from .lookup import bucket_query
 
     n4 = (L + 3) // 4
     packed = jax.lax.slice(inbuf, (0,), (n4,))
     nmask = jax.lax.slice(inbuf, (n4,), (inbuf.shape[0],))
     codes = unpack_bases(packed, nmask, L)
     canon, _ = pack_kmers(codes, k)
-    rows = bucket_query(canon, table, nbits, cap, nwords)
+    rows = _query(canon, table, nbits, cap, nwords)
     P = rows.shape[0]
     popc = mask_popcount(rows)
     by = masks_to_bytes(rows)[:, :nbytes]

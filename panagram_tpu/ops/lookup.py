@@ -243,3 +243,74 @@ def bucket_query(canon: jax.Array, table: jax.Array,
     hit = hit & (m != U64(0xFFFFFFFFFFFFFFFF))[:, None]
     sel = jnp.where(hit[:, :, None], rows[:, :, 2:], jnp.uint32(0))
     return sel.sum(axis=1, dtype=jnp.uint32)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def bucket_query_sorted(canon: jax.Array, table: jax.Array,
+                        nbits: int, cap: int, nwords: int,
+                        pre_mixed: bool = False):
+    """Merge-probe variant of bucket_query (identical results).
+
+    Sort the queries by mixed key, then stream the table HBM->VMEM in
+    contiguous bucket slices (Pallas double-buffered DMA, pallas_kernels
+    .probe_sorted) instead of issuing one random wide gather per query —
+    the sequential-read pattern runs at HBM bandwidth where the gather is
+    issue-rate-bound (~1% of roofline; ROUND1_NOTES.md).  The sort and the
+    inverse permutation are radix sorts (~11 ms / 4M keys measured), both
+    far cheaper than the gather they replace.
+
+    Correctness is unconditional: a per-tile bucket-span check (can tile t
+    see all its buckets inside [blo[t], blo[t]+span)?) selects the Pallas
+    path only when the geometry holds — lax.cond falls back to the gather
+    probe otherwise (rare: span violations need ~TILE_Q consecutive sorted
+    queries to straddle > span buckets)."""
+    from . import pallas_kernels as pk
+
+    Q0 = canon.shape[0]
+    B = 1 << nbits
+    stride = table.shape[1]
+    # Mosaic VMEM slices must be 128-lane aligned: pack adjacent buckets
+    # into one DMA row until the row width is a multiple of 128 u32 (the
+    # kernel safely matches across all packed buckets — an exact (hi, lo)
+    # match in a neighbour bucket is impossible since equal hi implies the
+    # same bucket)
+    pack = 1
+    while (stride * pack) % 128 or B % pack:
+        pack *= 2
+    Bp = B // pack
+    # bucket slice height in packed rows: cap VMEM scratch at ~4 MB
+    span = min(pk.SPAN, Bp, max((1 << 19) // (stride * pack), 256))
+
+    m0 = canon.astype(jnp.uint64) if pre_mixed else mix64(canon)
+    ALL1 = U64(0xFFFFFFFFFFFFFFFF)
+    Qp = -(-Q0 // pk.TILE_Q) * pk.TILE_Q
+    m = m0 if Qp == Q0 else jnp.concatenate(
+        [m0, jnp.full(Qp - Q0, ALL1, jnp.uint64)])
+
+    idx = jnp.arange(Qp, dtype=jnp.int32)
+    ms, idxs = jax.lax.sort((m, idx), num_keys=1)
+    brow = ((ms >> U64(64 - nbits)).astype(jnp.int32)
+            >> (pack.bit_length() - 1))
+    blo = jnp.clip(brow[:: pk.TILE_Q], 0, Bp - span)
+    # padding / reserved all-ones keys never hit (kernel masks them), so
+    # they are exempt from the span requirement
+    inspan = (brow - jnp.repeat(blo, pk.TILE_Q) < span) | (ms == ALL1)
+    ok = jnp.all(inspan)
+
+    qhi = (ms >> U64(32)).astype(jnp.uint32)
+    qlo = (ms & U64(0xFFFFFFFF)).astype(jnp.uint32)
+
+    def fast(_):
+        rows_t = pk.probe_sorted(qhi, qlo, blo,
+                                 table.reshape(Bp, stride * pack),
+                                 nbits, cap, nwords, span=span, pack=pack)
+        # inverse permutation by sorting on the original index (sort-based
+        # permute: a gather here would reintroduce the issue-rate wall)
+        srt = jax.lax.sort((idxs,) + tuple(rows_t[w] for w in range(nwords)),
+                           num_keys=1)
+        return jnp.stack(srt[1:], axis=1)[:Q0]
+
+    def slow(_):
+        return bucket_query(canon, table, nbits, cap, nwords, pre_mixed)
+
+    return jax.lax.cond(ok, fast, slow, None)

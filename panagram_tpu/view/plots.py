@@ -38,6 +38,72 @@ def _render(fig) -> bytes:
     return buf.getvalue()
 
 
+def _render_mapped(fig, axes_info, extra=None):
+    """Render WITHOUT bbox trimming (so axes transforms stay valid) and
+    return (png, map): per-axes pixel bboxes in image coordinates plus the
+    data x-range — the client uses this to translate clicks/drags on the
+    <img> into genomic coordinates (the stdlib twin of the reference's
+    Plotly clickData/relayoutData callbacks, view.py:2498-2694)."""
+    fig.canvas.draw()
+    w, h = fig.canvas.get_width_height()
+    rows = []
+    for ax, payload in axes_info:
+        bb = ax.get_window_extent()
+        x0, x1 = ax.get_xlim()
+        rows.append({**payload,
+                     "px0": round(bb.x0, 1), "px1": round(bb.x1, 1),
+                     "py0": round(h - bb.y1, 1), "py1": round(h - bb.y0, 1),
+                     "bp0": float(x0), "bp1": float(x1)})
+    buf = io.BytesIO()
+    fig.savefig(buf, format="png", dpi=fig.dpi)
+    plt.close(fig)
+    m = {"w": w, "h": h, "rows": rows}
+    if extra:
+        m.update(extra)
+    return buf.getvalue(), m
+
+
+def _linkage_tree(link, names):
+    """scipy linkage -> nested node dicts (ids follow scipy: leaves
+    0..n-1, internal n..2n-2), the payload for the client's collapsible
+    tree renderer (reference view.create_tree:751-919)."""
+    n = len(names)
+
+    def node(i):
+        if i < n:
+            return {"id": int(i), "name": names[i], "size": 1}
+        row = link[i - n]
+        kids = [node(int(row[0])), node(int(row[1]))]
+        return {"id": int(i), "dist": float(row[2]),
+                "size": int(row[3]), "children": kids}
+
+    return node(2 * n - 2) if n > 1 else {"id": 0, "name": names[0], "size": 1}
+
+
+def _collapse_order(link, names, collapse):
+    """Effective heatmap rows for a set of collapsed internal node ids:
+    walk the tree in dendrogram leaf order, emitting a merged pseudo-row
+    (member leaf ids + label) at each collapsed node."""
+    n = len(names)
+
+    def members(i):
+        if i < n:
+            return [i]
+        row = link[i - n]
+        return members(int(row[0])) + members(int(row[1]))
+
+    def walk(i):
+        if i < n:
+            return [([i], names[i])]
+        if i in collapse:
+            mem = members(i)
+            return [(mem, f"[{len(mem)} genomes]")]
+        row = link[i - n]
+        return walk(int(row[0])) + walk(int(row[1]))
+
+    return walk(2 * n - 2)
+
+
 # ---------------- Pangenome tab ----------------
 
 def pangenome_composition(index) -> bytes:
@@ -121,9 +187,12 @@ def genome_sizes_plot(index) -> bytes:
 
 # ---------------- Anchor tab ----------------
 
-def whole_genome_plot(index, genome, max_bins=350) -> bytes:
+def whole_genome_plot(index, genome, max_bins=350):
     """Per-chromosome occupancy bands across the genome
-    (reference view.plot_whole_genome:1851-1969)."""
+    (reference view.plot_whole_genome:1851-1969).  Returns (png, map):
+    each chromosome band is a click target that navigates into the
+    chromosome tab (reference nav_callback whole-genome clickData,
+    view.py:2533-2694)."""
     g = index.genomes[genome]
     n = index.ngenomes
     colors = genome_colors(n + 1)
@@ -134,6 +203,7 @@ def whole_genome_plot(index, genome, max_bins=350) -> bytes:
         squeeze=False, constrained_layout=True,
     )
     maxsize = g.sizes.max()
+    info = []
     for ax, chrom in zip(axes[:, 0], chrs):
         bins = g.bitfreq_bins.loc[chrom]
         x = bins.index.to_numpy()
@@ -143,9 +213,10 @@ def whole_genome_plot(index, genome, max_bins=350) -> bytes:
         ax.set_ylim(0, 1)
         ax.set_ylabel(chrom, fontsize=7, rotation=0, ha="right")
         ax.tick_params(labelsize=6)
+        info.append((ax, {"chrom": chrom, "size": int(g.seq_len(chrom))}))
     axes[-1, 0].set_xlabel("position (bp)")
     fig.suptitle(f"{genome}: occupancy composition per bin")
-    return _render(fig)
+    return _render_mapped(fig, info)
 
 
 def gene_content_plot(index, genome) -> bytes:
@@ -195,11 +266,23 @@ def umap_scatter(index, genome, chrom=None) -> bytes:
 
 # ---------------- Chromosome tab ----------------
 
+ANNO_COLORS = ["#70ad47", "#c05850", "#8064a2", "#4bacc6", "#f79646",
+               "#9bbb59", "#7f7f7f", "#c0504d"]
+
+
 def chromosome_view(index, genome, chrom, start=None, end=None,
-                    max_bins=350, order_names=None) -> bytes:
+                    max_bins=350, order_names=None, types=None,
+                    collapse=None):
     """The main interactive figure (reference view.plot_interactive
     :1116-1626): stacked occupancy bins + per-genome presence heatmap +
-    gene/annotation tracks for a region."""
+    gene/annotation tracks for a region.  Returns (png, map).
+
+    types: iterable of annotation type names to draw (None = all) — the
+    reference's annotation-type toggles (view.py:1971-2087).
+    collapse: iterable of internal tree-node ids whose subtrees render as
+    ONE averaged heatmap row — the reference's collapsible clade tree
+    (view.create_tree:751-919).  The map carries the linkage tree so the
+    client can draw/toggle it."""
     g = index.genomes[genome]
     size = int(g.seq_len(chrom))
     start = 0 if start is None else max(0, int(start))
@@ -217,39 +300,46 @@ def chromosome_view(index, genome, chrom, start=None, end=None,
 
     n = index.ngenomes
     colors = genome_colors(n + 1)
+    names = list(index.genome_names)
 
     # order genomes: explicit --order list, else ward-linkage clustering of
     # sampled bitmap rows (reference view.plot_interactive builds the same
     # tree from <=50k sampled rows, view.py:751-919,1183)
-    order = np.arange(n)
     link = None
+    tree = None
     if order_names:
-        names = list(index.genome_names)
-        wanted = [names.index(g) for g in order_names if g in names]
+        wanted = [names.index(g_) for g_ in order_names if g_ in names]
         rest = [i for i in range(n) if i not in wanted]
-        order = np.array(wanted + rest)
+        groups = [([i], names[i]) for i in np.array(wanted + rest)]
     else:
+        groups = [([i], names[i]) for i in range(n)]
         try:
             sample = bitmap.sample(n=min(len(bitmap), 50_000), random_state=42)
             if n > 2 and sample.to_numpy().std() > 0:
                 link = hierarchy.linkage(sample.to_numpy().T, method="ward")
-                order = np.asarray(hierarchy.leaves_list(link))
+                tree = _linkage_tree(link, names)
+                groups = _collapse_order(link, names,
+                                         set(collapse or ()))
         except Exception:
             pass
 
     fig = plt.figure(figsize=(11, 8), constrained_layout=True)
     gs = fig.add_gridspec(3, 2, height_ratios=[2, 2, 1],
-                          width_ratios=[12, 1])
+                          width_ratios=[9, 2])
     ax1 = fig.add_subplot(gs[0, 0])
     ax2 = fig.add_subplot(gs[1, 0], sharex=ax1)
     ax3 = fig.add_subplot(gs[2, 0], sharex=ax1)
     axd = fig.add_subplot(gs[1, 1])
-    if link is not None:
+    if link is not None and not collapse:
         hierarchy.dendrogram(link, ax=axd, orientation="right",
-                             no_labels=True, color_threshold=0,
+                             labels=names, leaf_font_size=6,
+                             color_threshold=0,
                              link_color_func=lambda _: "#888888")
         axd.invert_yaxis()
-    axd.axis("off")
+        axd.spines[:].set_visible(False)
+        axd.set_xticks([])
+    else:
+        axd.axis("off")
 
     # stacked occupancy fractions per bin (stackplot: one artist per
     # occupancy level instead of nbins patches — interactive-speed at
@@ -263,50 +353,87 @@ def chromosome_view(index, genome, chrom, start=None, end=None,
     ax1.set_ylabel("occupancy fraction")
     ax1.set_title(f"{genome} {chrom}:{start:,}-{end:,} (step {step})")
 
-    # per-genome presence heatmap (rows in tree order)
-    pc = paircount.to_numpy()[order]
-    labels = [paircount.index[i] for i in order]
-    im = ax2.imshow(
+    # per-genome presence heatmap, one row per (possibly merged) group
+    pcfull = paircount.to_numpy()
+    pc = np.stack([pcfull[mem].mean(axis=0) for mem, _ in groups])
+    labels = [lab for _, lab in groups]
+    ax2.imshow(
         pc, aspect="auto", interpolation="nearest", cmap="viridis",
         extent=[xs[0] if len(xs) else start,
-                (xs[-1] + binlen) if len(xs) else end, n - 0.5, -0.5],
+                (xs[-1] + binlen) if len(xs) else end,
+                len(groups) - 0.5, -0.5],
     )
-    ax2.set_yticks(range(n), labels, fontsize=7)
+    ax2.set_yticks(range(len(groups)), labels, fontsize=7)
     ax2.set_ylabel("genome")
 
-    # annotation tracks
+    # gene + per-type annotation tracks with legend (reference
+    # view.py:1971-2087 annotation-type toggles)
     genes = g.query_genes(chrom, start, end)
     annos = g.query_anno(chrom, start, end)
+    type_names = sorted(annos["type"].dropna().unique()) if len(annos) else []
+    shown = [t for t in type_names if types is None or t in types]
     y = 0
     for _, r in genes.iterrows():
         ax3.barh(y % 4, r["end"] - r["start"], left=r["start"], height=0.8,
                  color="#2a6099")
         ax3.text(r["start"], y % 4 + 0.45, str(r["name"]), fontsize=6)
         y += 1
-    if len(annos):
-        for _, r in annos.iterrows():
-            ax3.barh(4 + (int(r.get("type_id", 0) or 0) % 3),
-                     r["end"] - r["start"], left=r["start"], height=0.6,
-                     color="#70ad47", alpha=0.6)
+    handles = []
+    from matplotlib.patches import Patch
+
+    handles.append(Patch(color="#2a6099", label="gene"))
+    for ti, t in enumerate(shown):
+        sub = annos[annos["type"] == t]
+        color = ANNO_COLORS[ti % len(ANNO_COLORS)]
+        for _, r in sub.iterrows():
+            ax3.barh(4 + ti % 3, r["end"] - r["start"], left=r["start"],
+                     height=0.6, color=color, alpha=0.7)
+        handles.append(Patch(color=color, label=t))
     ax3.set_ylim(-0.5, 7.5)
     ax3.set_yticks([1.5, 5], ["genes", "annotations"], fontsize=7)
     ax3.set_xlabel("position (bp)")
     ax3.set_xlim(start, end)
-    return _render(fig)
+    if len(handles) > 1:
+        ax3.legend(handles=handles, fontsize=6, ncol=min(len(handles), 6),
+                   loc="upper right", framealpha=0.9)
+
+    # hover payload: per-bin mean occupancy + gene names under the cursor
+    occ = np.arange(n + 1, dtype=float)
+    mean_occ = (occ[:, None] * fracs).sum(axis=0)
+    extra = {
+        "tree": tree,
+        "labels": labels,
+        "start": start, "end": end, "step": step, "size": size,
+        "binlen": int(binlen),
+        "bins_x": [int(v) for v in xs],
+        "mean_occ": [round(float(v), 3) for v in mean_occ],
+        "anno_types": type_names,
+    }
+    info = [(ax1, {"panel": "occupancy"}), (ax2, {"panel": "heatmap"}),
+            (ax3, {"panel": "tracks"})]
+    return _render_mapped(fig, info, extra)
 
 
-def chr_whole_plot(index, genome, chrom) -> bytes:
-    """Whole-chromosome occupancy overview
-    (reference view.plot_chr_whole:1644-1849)."""
+def chr_whole_plot(index, genome, chrom, start=None, end=None):
+    """Whole-chromosome occupancy overview with the current view window
+    shaded (reference view.plot_chr_whole:1644-1849).  Returns (png, map)
+    so drag-selecting a range on the overview zooms the detail view."""
     g = index.genomes[genome]
     n = index.ngenomes
     colors = genome_colors(n + 1)
     bins = g.bitfreq_bins.loc[chrom]
-    fig, ax = plt.subplots(figsize=(10, 2.4))
+    fig, ax = plt.subplots(figsize=(10, 2.4), constrained_layout=True)
     x = bins.index.to_numpy()
     ax.stackplot(x, bins.to_numpy().T, colors=colors, step="post",
                  linewidth=0)
+    size = int(g.seq_len(chrom))
+    ax.set_xlim(0, size)
+    ax.set_ylim(0, 1)
+    if start is not None and end is not None and (start, end) != (0, size):
+        ax.axvspan(start, end, color="#d03a3a", alpha=0.18)
+        for bx in (start, end):
+            ax.axvline(bx, color="#d03a3a", linewidth=1)
     ax.set_xlabel("position (bp)")
     ax.set_ylabel("fraction")
     ax.set_title(f"{genome} {chrom}: occupancy composition")
-    return _render(fig)
+    return _render_mapped(fig, [(ax, {"chrom": chrom, "size": size})])

@@ -60,6 +60,59 @@ def test_bucket_query_matches_oracle(rng, ngenomes):
     assert np.array_equal(rows, want)
 
 
+@pytest.mark.parametrize("ngenomes", [3, 40])
+def test_bucket_query_sorted_matches_gather(rng, ngenomes):
+    """The Pallas merge probe must return byte-identical rows to the wide
+    gather probe for hits, misses, and N-window sentinels — including a
+    query count that is not a multiple of the kernel tile."""
+    import jax.numpy as jnp
+
+    from panagram_tpu.ops.codec import pack_kmers
+    from panagram_tpu.ops.lookup import bucket_query_sorted
+
+    seqs = [random_seq(rng, 2200, n_frac=0.02) for _ in range(ngenomes)]
+    sets = [genome_kmer_set([s], K) for s in seqs]
+    d = build_dictionary(sets, K)
+    bd = BucketedDict.build(d.keys, d.masks, ngenomes, K)
+    (t1,) = bd.device_arrays()
+
+    seq = seqs[0] + random_seq(rng, 700, n_frac=0.1)  # extra misses + Ns
+    canon, _ = pack_kmers(jnp.asarray(seq_to_codes(seq)), K)
+    want = np.asarray(bucket_query(canon, t1, bd.nbits, bd.cap, bd.nwords))
+    got = np.asarray(
+        bucket_query_sorted(canon, t1, bd.nbits, bd.cap, bd.nwords))
+    assert np.array_equal(got, want)
+
+
+def test_bucket_query_sorted_span_fallback(rng, monkeypatch):
+    """When a tile's sorted queries straddle more buckets than one VMEM
+    slice covers, the cond must route to the gather probe — results stay
+    identical either way."""
+    import jax.numpy as jnp
+
+    from panagram_tpu.ops import pallas_kernels as pk
+    from panagram_tpu.ops import lookup
+
+    keys = np.unique(rng.integers(0, 1 << 62, 8000, dtype=np.uint64))
+    masks = rng.integers(1, 1 << 31, (len(keys), 1)).astype(np.uint32)
+    bd = BucketedDict.build(keys, masks, 30, 21)
+    assert (1 << bd.nbits) > 8  # span below forces straddling tiles
+    (t1,) = bd.device_arrays()
+
+    q = jnp.asarray(np.concatenate(
+        [keys[: 1000], rng.integers(0, 1 << 62, 200, dtype=np.uint64)]))
+    want = np.asarray(bucket_query(q, t1, bd.nbits, bd.cap, bd.nwords))
+
+    monkeypatch.setattr(pk, "SPAN", 8)
+    lookup.bucket_query_sorted.clear_cache()  # span is read at trace time
+    try:
+        got = np.asarray(
+            lookup.bucket_query_sorted(q, t1, bd.nbits, bd.cap, bd.nwords))
+    finally:
+        lookup.bucket_query_sorted.clear_cache()
+    assert np.array_equal(got, want)
+
+
 def test_bucket_build_retries_until_fit(rng):
     """An overloaded initial layout must grow nbits until every bucket
     fits (single-probe guarantee), and all keys stay findable."""

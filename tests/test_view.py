@@ -43,20 +43,56 @@ def view_index(tmp_path_factory):
 def test_plot_builders(view_index):
     from panagram_tpu.view import plots
 
+    wg_png, wg_map = plots.whole_genome_plot(view_index, "g0")
+    cv_png, cv_map = plots.chromosome_view(view_index, "g0", "chr1", 100,
+                                           2000)
+    cw_png, cw_map = plots.chr_whole_plot(view_index, "g0", "chr1", 100,
+                                          2000)
     pngs = [
         plots.pangenome_composition(view_index),
         plots.genome_dendrogram(view_index),
         plots.chromosome_histograms(view_index),
         plots.genome_sizes_plot(view_index),
-        plots.whole_genome_plot(view_index, "g0"),
         plots.gene_content_plot(view_index, "g0"),
         plots.umap_scatter(view_index, "g0"),
-        plots.chromosome_view(view_index, "g0", "chr1", 100, 2000),
-        plots.chr_whole_plot(view_index, "g0", "chr1"),
+        wg_png, cv_png, cw_png,
     ]
     for png in pngs:
         assert png[:8] == b"\x89PNG\r\n\x1a\n"
         assert len(png) > 2000
+
+    # click-through maps: every chromosome band is a pixel bbox inside the
+    # image, carrying its data range
+    assert [r["chrom"] for r in wg_map["rows"]] == ["chr1"]
+    r = wg_map["rows"][0]
+    assert 0 <= r["px0"] < r["px1"] <= wg_map["w"]
+    assert 0 <= r["py0"] < r["py1"] <= wg_map["h"]
+    assert r["size"] == 2500 - K + 1
+
+    assert cv_map["start"] == 100 and cv_map["end"] == 2000
+    assert {r["panel"] for r in cv_map["rows"]} == {
+        "occupancy", "heatmap", "tracks"}
+    assert len(cv_map["bins_x"]) == len(cv_map["mean_occ"]) > 0
+    assert cv_map["labels"]  # heatmap row labels present
+    assert cw_map["rows"][0]["chrom"] == "chr1"
+
+
+def test_chromosome_view_collapse_and_types(view_index):
+    """Collapsing the tree root merges all heatmap rows into one; type
+    filters drop annotation tracks without breaking rendering."""
+    from panagram_tpu.view import plots
+
+    _, full = plots.chromosome_view(view_index, "g0", "chr1")
+    if full["tree"] is None or "children" not in full["tree"]:
+        pytest.skip("no linkage tree for this tiny index")
+    root = full["tree"]["id"]
+    png, m = plots.chromosome_view(view_index, "g0", "chr1",
+                                   collapse={root})
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    assert m["labels"] == ["[3 genomes]"]
+
+    png2, m2 = plots.chromosome_view(view_index, "g0", "chr1", types=set())
+    assert png2[:8] == b"\x89PNG\r\n\x1a\n"
 
 
 def test_http_server(view_index):
@@ -84,6 +120,39 @@ def test_http_server(view_index):
 
         st, body, ct = get("/plot/chrom/g0/chr1/view.png?start=0&end=1000")
         assert st == 200 and ct == "image/png"
+
+        # navigation state machine: map endpoints for click-through/zoom
+        st, body, ct = get("/api/view/g0/chr1?start=0&end=1000")
+        vm = json.loads(body)
+        assert vm["start"] == 0 and vm["end"] == 1000
+        assert {r["panel"] for r in vm["rows"]} >= {"occupancy", "heatmap"}
+
+        st, body, ct = get("/api/map/anchor/g0")
+        am = json.loads(body)
+        assert am["rows"][0]["chrom"] == "chr1"
+
+        st, body, ct = get("/api/map/chrom/g0/chr1?start=100&end=900")
+        cm = json.loads(body)
+        assert cm["rows"][0]["size"] == 2500 - K + 1
+
+        # annotation-type filter + tree collapse round-trip through the URL
+        st, body, ct = get(
+            "/plot/chrom/g0/chr1/view.png?start=0&end=1000&types=gene")
+        assert st == 200 and ct == "image/png"
+        if vm.get("tree") and "children" in vm["tree"]:
+            root = vm["tree"]["id"]
+            st, body, ct = get(
+                f"/api/view/g0/chr1?start=0&end=1000&collapse={root}")
+            assert json.loads(body)["labels"] == ["[3 genomes]"]
+
+        # gene table with substring search
+        st, body, ct = get("/api/genes?genome=g0&chrom=chr1&start=0&end=2000")
+        genes = json.loads(body)
+        assert genes and genes[0]["name"] == "G1"
+        assert {"unique", "universal"} <= set(genes[0])
+        st, body, ct = get(
+            "/api/genes?genome=g0&chrom=chr1&start=0&end=2000&q=zzz")
+        assert json.loads(body) == []
 
         st, body, ct = get("/api/bitdump?genome=g0&chrom=chr1&start=0&end=5")
         assert st == 200 and body.count(b"\n") == 6  # header + 5 rows
