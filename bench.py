@@ -143,6 +143,25 @@ def main():
 
     run_once()  # compile + warm
     _log("bench: warmup done")
+
+    # device parity spot-check vs the numpy oracle: the unit tests cover
+    # the kernels in interpreter mode only — this catches hardware-side
+    # miscompiles (Mosaic) before reporting a number
+    from panagram_tpu.ops.ref_impl import anchor_np, masks_to_bytes_np
+
+    p_n = min(1 << 17, seq_len - k + 1)
+    buf = np.full(chunk + k - 1, 255, np.uint8)
+    buf[: p_n + k - 1] = anchor_codes[: p_n + k - 1]
+    inbuf, L = pack_bases_combined(buf)
+    combined, stats = anchor_chunk_rle2(
+        jnp.asarray(inbuf), t1, L, k, bd.nbits, bd.cap,
+        bd.nwords, nbytes, capacity)
+    cnt = int(np.asarray(stats)[0])
+    by, _ = unpack_rle2(np.asarray(combined)[:cnt], cnt, L - k + 1, nbytes)
+    want = anchor_np(anchor_codes[: p_n + k - 1], k, d.keys, d.masks)
+    assert np.array_equal(by[:p_n], masks_to_bytes_np(want, nbytes)), \
+        "device/oracle bitmap mismatch"
+    _log("bench: device parity vs oracle OK")
     t0 = time.perf_counter()
     total = run_once()
     dt = time.perf_counter() - t0
