@@ -10,6 +10,15 @@ set -e
 cd "$(dirname "$0")/.."
 WORK=${1:-/tmp/panagram_tpu_example}
 export PYTHONPATH="$(pwd):$PYTHONPATH"
+# default to the CPU backend: the example is a functional walkthrough, and
+# on the axon rig a second process attaching to the (single-client) TPU
+# tunnel would block any concurrent device work
+export JAX_PLATFORMS="${JAX_PLATFORMS:-cpu}"
+if [ "$JAX_PLATFORMS" = "cpu" ]; then
+    # the axon sitecustomize registers its PJRT plugin in every process;
+    # clearing the pool var actually keeps it off the tunnel
+    unset PALLAS_AXON_POOL_IPS
+fi
 rm -rf "$WORK"
 mkdir -p "$WORK/FASTAS"
 
@@ -21,7 +30,7 @@ import numpy as np
 
 work = sys.argv[1]
 rng = np.random.default_rng(1)
-seq = "".join(np.array(list("ACGT"))[rng.integers(0, 4, 200_000)])
+seq = "".join(np.array(list("ACGT"))[rng.integers(0, 4, 2_000_000)])
 with open(f"{work}/FASTAS/toyref.fasta", "w") as f:
     f.write(">chr1\n")
     for i in range(0, len(seq), 70):
@@ -33,8 +42,8 @@ python -m panagram_tpu intros simulate \
   --ref "$WORK/FASTAS/toyref.fasta" \
   --out-folder "$WORK/simulated_data" \
   --num-introgressions 2 \
-  --introgression-size-min 20000 \
-  --introgression-size-max 40000 \
+  --introgression-size-min 100000 \
+  --introgression-size-max 250000 \
   --rel-sub-rate 0.02 \
   --mut-sub-rate 4e-4 --mut-ins-rate 1e-6 --mut-del-rate 1e-6 \
   --mut-rate-start 1e-4 \

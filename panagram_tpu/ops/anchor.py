@@ -69,12 +69,17 @@ def masks_to_bytes(rows: jax.Array) -> jax.Array:
 
 
 def _colsum_list(rows: jax.Array, n: int) -> jax.Array:
-    """Per-genome presence totals over the first n bits (int64 [n])."""
-    sums = []
-    for g in range(n):
-        w, bit = divmod(g, 32)
-        sums.append(jnp.sum(((rows[:, w] >> np.uint32(bit)) & 1).astype(jnp.int64)))
-    return jnp.stack(sums)
+    """Per-genome presence totals over the first n bits (int64 [n]).
+
+    One vectorized pass: bitcast the mask words to little-endian bytes,
+    broadcast-unpack all bits at once, and reduce over positions — not a
+    per-genome Python loop of n separate reductions."""
+    P, W = rows.shape
+    by = jax.lax.bitcast_convert_type(rows, jnp.uint8)       # [P, W, 4] LE
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    bits = (by[:, :, :, None] >> shifts) & jnp.uint8(1)      # [P, W, 4, 8]
+    sums = jnp.sum(bits.reshape(P, 32 * W).astype(jnp.int32), axis=0)
+    return sums[:n].astype(jnp.int64)
 
 
 @partial(jax.jit, static_argnums=(1,))

@@ -26,6 +26,7 @@ measured TPU gather characteristics:
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 
 import jax
@@ -278,12 +279,22 @@ def bucket_query_sorted(canon: jax.Array, table: jax.Array,
     while (stride * pack) % 128 or B % pack:
         pack *= 2
     Bp = B // pack
-    # bucket slice height in packed rows: cap VMEM scratch at ~4 MB
-    span = min(pk.SPAN, Bp, max((1 << 19) // (stride * pack), 256))
-
     m0 = canon.astype(jnp.uint64) if pre_mixed else mix64(canon)
     ALL1 = U64(0xFFFFFFFFFFFFFFFF)
     Qp = -(-Q0 // pk.TILE_Q) * pk.TILE_Q
+
+    # bucket-slice height (packed rows per tile): the one-hot row-select
+    # matmul scales with span, so size it to the geometry — a tile of
+    # TILE_Q sorted uniform queries covers TILE_Q*Bp/Qp rows on average
+    # with ~sqrt(TILE_Q) fluctuation; 4x the mean is a >100-sigma margin
+    # (the cond fallback still guarantees correctness).  Cap by VMEM
+    # scratch (~4 MB for 2 buffers) and floor at 256 rows.
+    expect = max(pk.TILE_Q * Bp // Qp, 1)
+    span = min(pk.SPAN, Bp, max((1 << 19) // (stride * pack), 256),
+               max(4 * expect, 256))
+    env_span = os.environ.get("PANAGRAM_TPU_PROBE_SPAN")
+    if env_span:
+        span = min(int(env_span), Bp)
     m = m0 if Qp == Q0 else jnp.concatenate(
         [m0, jnp.full(Qp - Q0, ALL1, jnp.uint64)])
 

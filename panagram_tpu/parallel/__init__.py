@@ -1,8 +1,12 @@
 from .mesh import make_mesh, DICT_AXIS
 from .shard import (
+    GenomeShardedDict,
     ShardedBucketedDict,
+    assemble_genome_shards,
+    genome_sharded_anchor_chunk,
     make_halo_chunks,
     shard_dictionary,
+    shard_dictionary_genomes,
     sharded_anchor_chunk,
     sharded_build_dictionary,
 )
@@ -10,9 +14,13 @@ from .shard import (
 __all__ = [
     "make_mesh",
     "DICT_AXIS",
+    "GenomeShardedDict",
     "ShardedBucketedDict",
+    "assemble_genome_shards",
+    "genome_sharded_anchor_chunk",
     "make_halo_chunks",
     "shard_dictionary",
+    "shard_dictionary_genomes",
     "sharded_anchor_chunk",
     "sharded_build_dictionary",
 ]

@@ -411,6 +411,148 @@ def sharded_anchor_chunk(mesh, sbd: ShardedBucketedDict,
         counts.reshape(n), C
 
 
+# ------------------------------------------- genome-dimension sharding --
+
+
+@dataclasses.dataclass
+class GenomeShardedDict:
+    """Bit-plane sharded dictionary (SURVEY §2.7 P5): every shard holds
+    ALL keys but only its slice of the mask words — the TPU twin of the
+    reference's one-KMC-DB-per-32-genomes layout (index.py:391-426), where
+    each database contributes an independent byte slice of the bitmap row.
+
+    Complements ShardedBucketedDict (key-range sharding): use this when
+    the GENOME dimension, not the key count, is what exceeds one device
+    (mask payload scales as genomes x keys).  tables u32 [S, B, stride]
+    sharded on axis 0; every per-shard table uses the standard top-bits
+    BucketedDict layout over the identical key set, so geometry (nbits,
+    cap, stride) is common to all shards by construction."""
+
+    tables: jax.Array
+    nbits: int
+    cap: int
+    stride: int
+    ngenomes: int
+    k: int
+    nwords_local: int
+    n_shards: int
+
+
+def shard_dictionary_genomes(pan_dict: PanKmerDict,
+                             mesh) -> GenomeShardedDict:
+    """Split a dictionary's mask words across the mesh (all keys
+    replicated).  Bucket loads depend only on the key set, so one retry
+    loop fixes the geometry for every shard."""
+    n = mesh.devices.size
+    D = len(pan_dict.keys)
+    W = pan_dict.masks.shape[1] if pan_dict.masks.ndim == 2 else 1
+    Wl = -(-W // n)
+    masks = np.zeros((D, n * Wl), np.uint32)
+    masks[:, :W] = pan_dict.masks.reshape(D, W)
+
+    keys = pan_dict.keys.astype(U64)
+    if pan_dict.key_space == "mixed":
+        m = keys
+    else:
+        from ..ops.lookup import mix64_np
+
+        m = mix64_np(keys)
+
+    slot_w = 2 + Wl
+    stride = 64
+    while stride // slot_w < 3 * BucketedDict.MEAN_LOAD:
+        stride += 64
+    cap = stride // slot_w
+
+    nbits = max(int(np.ceil(np.log2(
+        max(D / BucketedDict.MEAN_LOAD, 1)))), 2)
+    for _ in range(8):
+        shard_tables = []
+        overflow = 0
+        for s in range(n):
+            tab, ovf = BucketedDict._layout(
+                m, masks[:, s * Wl:(s + 1) * Wl], nbits, cap, stride)
+            overflow += ovf
+            if ovf:
+                break
+            shard_tables.append(tab)
+        if overflow == 0:
+            break
+        nbits += 1
+    else:
+        raise RuntimeError("genome shard: bucket overflow persisted")
+
+    stacked = np.stack(shard_tables)                   # [S, B, stride]
+    tables = jax.device_put(stacked, NamedSharding(mesh, P(DICT_AXIS)))
+    return GenomeShardedDict(
+        tables=tables, nbits=nbits, cap=cap, stride=stride,
+        ngenomes=pan_dict.ngenomes, k=pan_dict.k, nwords_local=Wl,
+        n_shards=n,
+    )
+
+
+def _genome_anchor_body(codes, table_l, *, k, nbits, cap, nwords_local):
+    """shard_map body: every shard anchors the SAME positions against its
+    own mask-word slice; total occupancy is a psum over shards.  Output
+    bytes stay sharded along the genome axis — the host concatenates byte
+    slices exactly like the reference concatenates per-KMC-DB slices
+    (reference index.py:936-947)."""
+    codes = codes.reshape(-1)
+    table_l = table_l.reshape(table_l.shape[-2], table_l.shape[-1])
+    canon, _ = pack_kmers(codes, k)
+    m = jnp.where(canon == SENTINEL, SENTINEL, mix64(canon))
+
+    # top-bits bucket (standard BucketedDict layout), one wide gather
+    qhi = (m >> U64(32)).astype(jnp.uint32)
+    qlo = (m & U64(0xFFFFFFFF)).astype(jnp.uint32)
+    bucket = (m >> U64(64 - nbits)).astype(jnp.int32)
+    rows = jnp.take(table_l, bucket, axis=0)
+    slot_w = 2 + nwords_local
+    view = rows[:, : cap * slot_w].reshape(rows.shape[0], cap, slot_w)
+    hit = (view[:, :, 0] == qhi[:, None]) & (view[:, :, 1] == qlo[:, None])
+    hit = hit & (m != U64(0xFFFFFFFFFFFFFFFF))[:, None]
+    sel = jnp.where(hit[:, :, None], view[:, :, 2:], jnp.uint32(0))
+    rows_l = sel.sum(axis=1, dtype=jnp.uint32)         # [C, Wl]
+
+    popc_l = jnp.sum(jax.lax.population_count(rows_l).astype(jnp.int32),
+                     axis=-1, dtype=jnp.int32)
+    popc = jax.lax.psum(popc_l, DICT_AXIS)             # replicated total
+
+    shifts = np.array([0, 8, 16, 24], np.uint32)
+    by = ((rows_l[:, :, None] >> shifts[None, None, :]) & jnp.uint32(0xFF))
+    by = by.astype(jnp.uint8).reshape(-1, 4 * nwords_local)
+    return by, popc
+
+
+def genome_sharded_anchor_chunk(mesh, gsd: GenomeShardedDict,
+                                codes: np.ndarray):
+    """Anchor one chunk against a genome-sharded dictionary.
+
+    codes u8 [C + k - 1] (replicated to every device).  Returns
+    (bytes u8 [S, C, 4*nwords_local] — per-shard genome byte slices,
+    popc i32 [C]).  Host assembly: hstack the S slices and trim to
+    ceil(ngenomes/8) columns."""
+    n = mesh.devices.size
+    body = partial(_genome_anchor_body, k=gsd.k, nbits=gsd.nbits,
+                   cap=gsd.cap, nwords_local=gsd.nwords_local)
+    f = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(DICT_AXIS)),
+        out_specs=(P(DICT_AXIS), P()),
+    )
+    C = len(codes) - (gsd.k - 1)
+    by, popc = jax.jit(f)(jnp.asarray(codes), gsd.tables)
+    return by.reshape(n, C, 4 * gsd.nwords_local), popc
+
+
+def assemble_genome_shards(by_shards: np.ndarray, nbytes: int) -> np.ndarray:
+    """Host-side: per-shard byte slices [S, C, 4*Wl] -> bitmap rows
+    [C, nbytes] (the reference's per-DB byte-slice concatenation)."""
+    S, C, _ = by_shards.shape
+    return np.concatenate([by_shards[s] for s in range(S)],
+                          axis=1)[:, :nbytes]
+
+
 def make_halo_chunks(codes: np.ndarray, n_shards: int, k: int,
                      chunk_per_dev: int | None = None):
     """Host-side: split a chromosome's codes into per-device halo'd slices.

@@ -168,3 +168,38 @@ def test_mesh_cli_build_byte_identical(tmp_path):
             assert a == b, f"{g}/{fn}"
     assert (single / "genome_dist.tsv").read_bytes() == \
         (meshed / "genome_dist.tsv").read_bytes()
+
+
+def test_genome_sharded_dict_matches_oracle(setup):
+    """Bit-plane sharding (SURVEY §2.7 P5): 80 genomes -> 3 mask words
+    split across 8 shards; assembled byte slices and psum'd popcounts
+    must equal the single-device oracle."""
+    from panagram_tpu.ops.dictionary import PanKmerDict
+    from panagram_tpu.ops.ref_impl import masks_to_bytes_np
+    from panagram_tpu.parallel.shard import (
+        assemble_genome_shards,
+        genome_sharded_anchor_chunk,
+        shard_dictionary_genomes,
+    )
+
+    rng = np.random.default_rng(13)
+    ng = 80
+    seqs = [random_seq(rng, 700, n_frac=0.01) for _ in range(ng)]
+    sets = [genome_kmer_set([s], K) for s in seqs]
+    d = build_dictionary(sets, K)
+    assert d.masks.shape[1] == 3  # ceil(80/32)
+
+    mesh = setup["mesh"]
+    pan = PanKmerDict(d.keys, d.masks, ng, K)
+    gsd = shard_dictionary_genomes(pan, mesh)
+    assert gsd.nwords_local == 1 and gsd.n_shards == 8
+
+    seq = seqs[3] + random_seq(rng, 150, n_frac=0.1)
+    codes = seq_to_codes(seq)
+    by_shards, popc = genome_sharded_anchor_chunk(mesh, gsd, codes)
+
+    want = anchor_np(seq, K, d.keys, d.masks)
+    nbytes = (ng + 7) // 8
+    got = assemble_genome_shards(np.asarray(by_shards), nbytes)
+    assert np.array_equal(got, masks_to_bytes_np(want, nbytes))
+    assert np.array_equal(np.asarray(popc), popcount_np(want))
