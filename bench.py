@@ -49,7 +49,7 @@ def main():
         anchor_chunk_fast,
         anchor_chunk_rle2,
         pack_bases_combined,
-        collect_rle,
+        collect_rle2,
         dispatch_rle_prefix,
         unpack_rle2,
     )
@@ -114,7 +114,8 @@ def main():
         buf = np.full(chunk + k - 1, 255, np.uint8)
         # dispatch every chunk's kernel asynchronously, then drain: device
         # compute overlaps host packing + d2h transfers; one combined u8
-        # input buffer and one combined u8 output buffer per chunk
+        # input buffer and one combined u8 output buffer per chunk, and the
+        # run count rides in the output header — no stats round trip
         pending = []
         for start in range(0, nk, chunk):
             m = min(chunk, nk - start)
@@ -122,20 +123,19 @@ def main():
             buf[: m + k - 1] = anchor_codes[start : start + m + k - 1]
             inbuf, L = pack_bases_combined(buf)
             ib = jnp.asarray(inbuf)
-            combined, stats = anchor_chunk_rle2(
+            combined = anchor_chunk_rle2(
                 ib, t1, L, k, bd.nbits, bd.cap,
                 bd.nwords, nbytes, capacity,
             )
             prefix = dispatch_rle_prefix(combined)
-            pending.append((m, L, combined, prefix, stats))
+            pending.append((m, L, combined, prefix))
 
         total = 0
-        for m, L, combined, prefix, stats in pending:
-            count = int(np.asarray(stats)[0])
+        for m, L, combined, prefix in pending:
             P = L - k + 1
-            assert count <= capacity, "rle capacity overflow in bench"
-            by, popc = unpack_rle2(collect_rle(prefix, combined, count),
-                                   count, P, nbytes)
+            data_rows, count = collect_rle2(prefix, combined)
+            assert data_rows is not None, "rle capacity overflow in bench"
+            by, popc = unpack_rle2(data_rows, count, P, nbytes)
             by = by[:m]
             popc = popc[:m]
             total += m
@@ -153,11 +153,11 @@ def main():
     buf = np.full(chunk + k - 1, 255, np.uint8)
     buf[: p_n + k - 1] = anchor_codes[: p_n + k - 1]
     inbuf, L = pack_bases_combined(buf)
-    combined, stats = anchor_chunk_rle2(
+    combined = anchor_chunk_rle2(
         jnp.asarray(inbuf), t1, L, k, bd.nbits, bd.cap,
         bd.nwords, nbytes, capacity)
-    cnt = int(np.asarray(stats)[0])
-    by, _ = unpack_rle2(np.asarray(combined)[:cnt], cnt, L - k + 1, nbytes)
+    data_rows, cnt = collect_rle2(dispatch_rle_prefix(combined), combined)
+    by, _ = unpack_rle2(data_rows, cnt, L - k + 1, nbytes)
     want = anchor_np(anchor_codes[: p_n + k - 1], k, d.keys, d.masks)
     assert np.array_equal(by[:p_n], masks_to_bytes_np(want, nbytes)), \
         "device/oracle bitmap mismatch"

@@ -693,7 +693,7 @@ class Genome:
         from .ops.anchor import (
             anchor_chunk_fast,
             anchor_chunk_rle2,
-            collect_rle,
+            collect_rle2,
             dispatch_rle_prefix,
             pack_bases_combined,
             rle2_colsums,
@@ -711,17 +711,19 @@ class Genome:
             buf[:] = 255
             buf[: m + k - 1] = codes[start : start + m + k - 1]
             inbuf, L = pack_bases_combined(buf)
-            combined, stats = anchor_chunk_rle2(
+            combined = anchor_chunk_rle2(
                 jnp.asarray(inbuf), t1, L, k, bd.nbits,
                 bd.cap, bd.nwords, nbytes, capacity,
             )
             prefix = dispatch_rle_prefix(combined)
-            pending.append((start, m, L, inbuf, combined, prefix, stats))
+            pending.append((start, m, L, inbuf, combined, prefix))
 
-        for start, m, L, inbuf, combined, prefix, stats in pending:
-            count = int(np.asarray(stats)[0])
+        for start, m, L, inbuf, combined, prefix in pending:
             P = L - k + 1
-            if count > capacity:
+            # ONE prefix transfer resolves the run count (row-0 header)
+            # and, typically, every data row
+            data_rows, count = collect_rle2(prefix, combined)
+            if data_rows is None:       # RLE overflow: dense fallback
                 by_d, popc_d, colsums_d = anchor_chunk_fast(
                     jnp.asarray(inbuf[: (L + 3) // 4]),
                     jnp.asarray(inbuf[(L + 3) // 4 :]),
@@ -732,11 +734,10 @@ class Genome:
                 popc_np = np.asarray(popc_d)[:m].astype(np.int32)
                 chunk_colsums = np.asarray(colsums_d)[:N]
             else:
-                combined_host = collect_rle(prefix, combined, count)
-                by, popc_np = unpack_rle2(combined_host, count, P, nbytes)
+                by, popc_np = unpack_rle2(data_rows, count, P, nbytes)
                 by = by[:m]
                 popc_np = popc_np[:m]
-                chunk_colsums = rle2_colsums(combined_host, count, P, N)
+                chunk_colsums = rle2_colsums(data_rows, count, P, N)
             yield start, m, by, popc_np, chunk_colsums
 
     def _mesh_chunk_results(self, mesh, sharded, codes, nkmers, chunk):

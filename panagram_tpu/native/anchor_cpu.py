@@ -28,6 +28,25 @@ _lib.acpu_anchor.argtypes = [
     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int,
     ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
 ]
+_lib.acpu_rle_expand.restype = None
+_lib.acpu_rle_expand.argtypes = [
+    ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int, ctypes.c_longlong,
+    ctypes.c_void_p, ctypes.c_void_p,
+]
+
+
+def rle_expand_native(rows: np.ndarray, count: int, total: int,
+                      nbytes: int):
+    """Decode anchor_chunk_rle2 RLE rows -> (bytes u8 [total, nbytes],
+    popc i32 [total]); same contract as ops.anchor.unpack_rle2."""
+    rows = np.ascontiguousarray(rows[:count], np.uint8)
+    out_b = np.empty((total, nbytes), np.uint8)
+    out_p = np.empty(total, np.int32)
+    _lib.acpu_rle_expand(
+        rows.ctypes.data_as(ctypes.c_void_p), count, nbytes, total,
+        out_b.ctypes.data_as(ctypes.c_void_p),
+        out_p.ctypes.data_as(ctypes.c_void_p))
+    return out_b, out_p
 
 
 class CpuAnchorer:

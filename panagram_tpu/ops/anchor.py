@@ -125,31 +125,17 @@ def anchor_chunk_fast(packed: jax.Array, nmask: jax.Array,
     return by, popc, colsums
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9))
-def anchor_chunk_rle(packed: jax.Array, nmask: jax.Array,
-                     table: jax.Array,
-                     L: int, k: int, nbits: int, cap: int,
-                     nwords: int, nbytes: int, capacity: int):
-    """Fast path with run-length-compacted output.
-
-    Consecutive anchor positions usually share their presence mask (runs
-    break only at variant boundaries), so instead of shipping nbytes per
-    position over a narrow host link, ship only the rows where the mask
-    CHANGES: (positions i32 [capacity], bytes u8 [capacity, nbytes],
-    popc i32 [capacity], stats i64 [32*nwords + 1] = per-genome column
-    sums with the change count in the last slot).  The host reconstructs
-    with np.repeat (rle_expand below).  If count > capacity the caller
-    falls back to anchor_chunk_fast.
-    """
-    from .codec import unpack_bases
-
-    codes = unpack_bases(packed, nmask, L)
-    canon, _ = pack_kmers(codes, k)
-    rows = _query(canon, table, nbits, cap, nwords)
+def rle_payload(rows: jax.Array, nbytes: int, capacity: int):
+    """Shared RLE compaction: mask rows u32 [P, W] -> (out u8
+    [capacity + 1, 3 + nbytes], count i32).  Output row i < count is
+    [pos u24 LE | mask bytes] — popcounts and per-genome totals are
+    host-derived from the mask bytes (unpack_rle2 / rle2_colsums), so the
+    device ships only what cannot be recomputed.  Rows past `capacity`
+    are dropped into the final trash row; `count` always reports the true
+    run count so the caller can detect overflow.  P must be < 2^24 (the
+    3-byte position); the streaming chunk sizes are far below that."""
     P = rows.shape[0]
-    popc = mask_popcount(rows)
     by = masks_to_bytes(rows)[:, :nbytes]
-
     change = jnp.concatenate([
         jnp.ones(1, bool), jnp.any(rows[1:] != rows[:-1], axis=1)
     ])
@@ -157,20 +143,13 @@ def anchor_chunk_rle(packed: jax.Array, nmask: jax.Array,
     count = pos[-1] + 1
     slots = jnp.where(change & (pos < capacity), pos, capacity)
 
-    iota = jnp.arange(P, dtype=jnp.int32)
-    out_pos = jnp.zeros(capacity + 1, jnp.int32).at[slots].set(
-        iota, mode="drop", unique_indices=False)
-    out_bytes = jnp.zeros((capacity + 1, nbytes), jnp.uint8).at[slots].set(
-        by, mode="drop")
-    out_popc = jnp.zeros(capacity + 1, jnp.int32).at[slots].set(
-        popc, mode="drop")
-
-    # stats = [colsums..., count] in ONE array: a single host transfer
-    stats = jnp.concatenate([_colsum_list(rows, 32 * nwords),
-                             count[None].astype(jnp.int64)])
-
-    return (out_pos[:capacity], out_bytes[:capacity], out_popc[:capacity],
-            stats)
+    iota = jnp.arange(P, dtype=jnp.uint32)
+    shifts = np.array([0, 8, 16], np.uint32)
+    pos_bytes = ((iota[:, None] >> shifts[None, :]) & 0xFF).astype(jnp.uint8)
+    payload = jnp.concatenate([pos_bytes, by], axis=1)
+    out = jnp.zeros((capacity + 1, 3 + nbytes), jnp.uint8).at[slots].set(
+        payload, mode="drop")
+    return out, count
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
@@ -180,10 +159,16 @@ def anchor_chunk_rle2(inbuf: jax.Array, table: jax.Array,
     """Transfer-optimal fast path: ONE u8 input buffer (packed bases ++
     N-mask, from pack_bases_combined) and ONE u8 output buffer per chunk.
 
-    Output row i (i < count): [pos u32 LE | popc u16 LE | mask bytes].
-    Returns (combined u8 [capacity, 6 + nbytes], count i64 [1]).
-    Host side: unpack_rle2 reconstructs full-resolution rows and
-    rle2_colsums the per-genome totals.
+    Returns combined u8 [capacity + 2, 3 + nbytes]:
+      row 0        header — bytes 0:4 hold the true run count (u32 LE)
+      rows 1..cnt  RLE data rows [pos u24 LE | mask bytes]
+    Folding the count into the buffer means the host learns count AND
+    receives the typical-case payload in a SINGLE speculative prefix
+    transfer (collect_rle2) — on high-latency links (this rig: 50-90 ms
+    per d2h call) the per-chunk round trip for a separate stats array was
+    a first-order cost.  Host side: collect_rle2 -> unpack_rle2 /
+    rle2_colsums.  count > capacity signals overflow (rows were dropped);
+    the caller falls back to anchor_chunk_fast.
     """
     from .codec import unpack_bases
 
@@ -193,33 +178,13 @@ def anchor_chunk_rle2(inbuf: jax.Array, table: jax.Array,
     codes = unpack_bases(packed, nmask, L)
     canon, _ = pack_kmers(codes, k)
     rows = _query(canon, table, nbits, cap, nwords)
-    P = rows.shape[0]
-    popc = mask_popcount(rows)
-    by = masks_to_bytes(rows)[:, :nbytes]
+    body, count = rle_payload(rows, nbytes, capacity)
 
-    change = jnp.concatenate([
-        jnp.ones(1, bool), jnp.any(rows[1:] != rows[:-1], axis=1)
-    ])
-    pos = jnp.cumsum(change.astype(jnp.int32)) - 1
-    count = pos[-1] + 1
-    slots = jnp.where(change & (pos < capacity), pos, capacity)
-
-    iota = jnp.arange(P, dtype=jnp.uint32)
-    shifts = np.array([0, 8, 16, 24], np.uint32)
-    pos_bytes = ((iota[:, None] >> shifts[None, :]) & 0xFF).astype(jnp.uint8)
-    popc_bytes = jnp.stack(
-        [(popc & 0xFF).astype(jnp.uint8), ((popc >> 8) & 0xFF).astype(jnp.uint8)],
-        axis=1,
-    )
-    payload = jnp.concatenate([pos_bytes, popc_bytes, by], axis=1)
-    out = jnp.zeros((capacity + 1, 6 + nbytes), jnp.uint8).at[slots].set(
-        payload, mode="drop")
-
-    # no device-side column sums: the host derives exact per-genome totals
-    # from the RLE rows x run lengths (rle2_colsums below) — dropping 32W
-    # reduction passes over the full row array
-    stats = count[None].astype(jnp.int64)
-    return out[:capacity], stats
+    cnt32 = count.astype(jnp.uint32)
+    cshift = np.array([0, 8, 16, 24], np.uint32)
+    header = jnp.zeros((1, 3 + nbytes), jnp.uint8).at[0, :4].set(
+        ((cnt32 >> cshift) & 0xFF).astype(jnp.uint8))
+    return jnp.concatenate([header, body], axis=0)
 
 
 def pack_bases_combined(codes: np.ndarray):
@@ -231,72 +196,112 @@ def pack_bases_combined(codes: np.ndarray):
     return np.concatenate([packed, nmask]), L
 
 
-def unpack_rle2(combined_host: np.ndarray, count: int, total: int,
+try:  # native memcpy decoder (faster than np.repeat); optional build
+    from ..native.anchor_cpu import rle_expand_native as _rle_expand_native
+except OSError:  # pragma: no cover - library not built
+    _rle_expand_native = None
+
+
+def _rle_pos(rowsc: np.ndarray) -> np.ndarray:
+    """3-byte little-endian positions of RLE data rows -> int64 [count]."""
+    r = rowsc.astype(np.int64)
+    return r[:, 0] | (r[:, 1] << 8) | (r[:, 2] << 16)
+
+
+_POPC8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                       axis=1).sum(axis=1).astype(np.int32)
+
+
+def unpack_rle2(data_rows: np.ndarray, count: int, total: int,
                 nbytes: int):
-    """Host-side decode of anchor_chunk_rle2 output (already np.asarray'd
-    and sliced to >= count rows): returns (bytes [total, nbytes],
-    popc [total])."""
-    rowsc = combined_host[:count]
-    pos = rowsc[:, :4].copy().view("<u4").reshape(-1).astype(np.int64)
-    popc = rowsc[:, 4:6].copy().view("<u2").reshape(-1).astype(np.int32)
-    by = rowsc[:, 6:]
+    """Host-side decode of RLE data rows ([pos u24 LE | mask bytes],
+    header already stripped): returns (bytes [total, nbytes],
+    popc i32 [total]).  popc is recomputed from the mask bytes — cheaper
+    to rebuild per RUN here than to ship per run over the link."""
+    if _rle_expand_native is not None and count > 0:
+        return _rle_expand_native(data_rows, count, total, nbytes)
+    rowsc = data_rows[:count]
+    pos = _rle_pos(rowsc)
+    by = rowsc[:, 3:]
+    popc = _POPC8[by].sum(axis=1, dtype=np.int32)
     reps = np.diff(pos, append=total)
     return np.repeat(by, reps, axis=0), np.repeat(popc, reps)
 
 
-def rle2_colsums(combined_host: np.ndarray, count: int, total: int,
+def rle2_colsums(data_rows: np.ndarray, count: int, total: int,
                  ngenomes: int) -> np.ndarray:
     """Exact per-genome presence totals from RLE rows x run lengths —
     host-side replacement for the device column-sum reductions (the
     paircount_sums of reference index.py:1051).  `total` must be the REAL
     position count (padding rows are zero anyway)."""
-    rowsc = combined_host[:count]
-    pos = rowsc[:, :4].copy().view("<u4").reshape(-1).astype(np.int64)
-    reps = np.diff(pos, append=total).clip(min=0)
-    bits = np.unpackbits(rowsc[:, 6:], axis=1, bitorder="little")[:, :ngenomes]
+    rowsc = data_rows[:count]
+    reps = np.diff(_rle_pos(rowsc), append=total).clip(min=0)
+    bits = np.unpackbits(rowsc[:, 3:], axis=1, bitorder="little")[:, :ngenomes]
     return (bits.astype(np.int64) * reps[:, None]).sum(axis=0)
 
 
-RLE_PREFIX = 1 << 17  # rows speculatively transferred with the kernel
+RLE_PREFIX = 1 << 17   # rows (incl. header) speculatively transferred
+_PIECE = 1 << 17       # rows per overflow fetch (one cached program)
+_piece_fns: dict = {}
 
 
 def dispatch_rle_prefix(combined: jax.Array):
-    """Queue a fixed-size prefix transfer of the RLE buffer immediately
-    after the kernel dispatch: by the time the host learns `count` (the
-    stats sync), the typical-case payload is already on its way — one
-    serialized round trip less per chunk.  Falls back to _pow2_slice when
-    count exceeds the prefix."""
+    """Queue a fixed-size prefix slice of the RLE buffer immediately after
+    the kernel dispatch.  Row 0 is the count header, so ONE transfer of
+    this prefix gives the host the count and (typically) every data row —
+    no separate stats round trip."""
     n = min(RLE_PREFIX, combined.shape[0])
     return combined[:n]
 
 
-def collect_rle(prefix: jax.Array, combined: jax.Array, count: int):
-    """Host-side: materialise >= count RLE rows using the speculative
-    prefix when it suffices."""
-    if count <= prefix.shape[0]:
-        return np.asarray(prefix)[:count]
-    return _pow2_slice(combined, count)
+def _fetch_piece(combined: jax.Array, start: int) -> np.ndarray:
+    """Transfer rows [start, start + piece) via ONE cached dynamic-slice
+    program (a static slice per observed count would recompile; on
+    remote-compile rigs each program costs 30-500 s)."""
+    import jax as _jax
+
+    rows, rowb = combined.shape
+    piece = min(_PIECE, rows)
+    key = (rows, rowb, str(combined.dtype), piece)
+    fn = _piece_fns.get(key)
+    if fn is None:
+        def _slice(arr, s):
+            return jax.lax.dynamic_slice(arr, (s, jnp.int32(0)),
+                                         (piece, rowb))
+        fn = _jax.jit(_slice)
+        _piece_fns[key] = fn
+    return np.asarray(fn(combined, jnp.int32(start)))
 
 
-def _pow2_slice(arr, count: int):
-    """Device-slice to the next power of two >= count: bounds the number of
-    distinct compiled slice programs to log2(capacity) instead of one per
-    observed count (device slicing by arbitrary python ints would trigger a
-    fresh XLA compile per shape)."""
-    n = arr.shape[0]
-    c = 1
-    while c < count:
-        c <<= 1
-    c = min(c, n)
-    return np.asarray(arr[:c])[:count]
+def collect_rle2(prefix: jax.Array, combined: jax.Array):
+    """Host-side collection of an anchor_chunk_rle2 result.
 
+    Returns (data_rows u8 [count, 3 + nbytes] | None, count): None when
+    count overflowed the device capacity (the caller re-runs the chunk
+    through anchor_chunk_fast).  The speculative prefix usually satisfies
+    the whole read; larger counts stream the remainder in fixed-size
+    dynamic-slice pieces (every piece reuses one compiled program)."""
+    ph = np.asarray(prefix)
+    count = int(ph[0, :4].copy().view("<u4")[0])
+    capacity = combined.shape[0] - 2
+    if count > capacity:
+        return None, count
+    need = count + 1                      # rows including the header
+    if need <= ph.shape[0]:
+        return ph[1:need], count
 
-def rle_expand(positions: np.ndarray, values: np.ndarray, count: int,
-               total: int) -> np.ndarray:
-    """Host-side inverse of anchor_chunk_rle's compaction."""
-    positions = _pow2_slice(positions, count)
-    reps = np.diff(positions, append=total)
-    return np.repeat(_pow2_slice(values, count), reps, axis=0)
+    total_rows, rowb = combined.shape
+    piece = min(_PIECE, total_rows)
+    out = np.empty((need, rowb), np.uint8)
+    out[: ph.shape[0]] = ph
+    s = ph.shape[0]
+    while s < need:
+        sa = min(s, total_rows - piece)   # dynamic_slice clamps the same way
+        part = _fetch_piece(combined, sa)
+        hi = min(sa + piece, need)
+        out[s:hi] = part[s - sa: hi - sa]
+        s = hi
+    return out[1:], count
 
 
 @partial(jax.jit, static_argnums=(3,))

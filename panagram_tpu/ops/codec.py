@@ -41,48 +41,42 @@ def pack_kmers(codes: jax.Array, k: int):
     Returns (canon: u64 [L-k+1], valid: bool [L-k+1]).  Invalid windows get
     canon == SENTINEL so they never match a dictionary key.
 
-    Implemented as a fori_loop over base PAIRS accumulating into native u32
-    (hi, lo) halves: half the iterations of the per-base loop and no
-    emulated 64-bit shifts inside it (TPU emulates u64 with 32-bit pairs).
-    The rolled loop keeps the HLO small for remote-compile backends.
+    Implemented as a STATICALLY UNROLLED loop over base pairs accumulating
+    into native u32 (hi, lo) halves (TPU emulates u64 with 32-bit pairs):
+    k is static, so every shift is a compile-time constant and the whole
+    window packing fuses into one elementwise pass — measured 10x+ faster
+    than the fori_loop/dynamic-slice formulation, whose loop-carried 5-array
+    state made k/2 round trips through HBM (~2% of roofline).  The unrolled
+    HLO is still tiny (~20 ops per pair, k <= 31).
     """
     n = codes.shape[0] - k + 1
     c32 = codes.astype(jnp.uint32)
     three = jnp.uint32(3)
 
-    def put(hi, lo, val, s):
-        """(hi, lo) |= val << s for a 4-bit val and even traced shift s in
-        [0, 2k-4]; shift amounts are clamped so XLA's shift semantics never
-        see >= 32."""
-        lo = lo | jnp.where(s < 32, val << jnp.minimum(s, 31), jnp.uint32(0))
-        hi = hi | jnp.where(
-            s >= 32,
-            val << jnp.minimum(jnp.maximum(s, 32) - 32, 31),
-            val >> jnp.minimum(32 - jnp.minimum(s, 31), 31),
-        )
+    def put(hi, lo, val, s: int):
+        """(hi, lo) |= val << s for a 4-bit val at STATIC even shift s."""
+        if s < 32:
+            lo = lo | (val << np.uint32(s))
+            if s > 28:  # the 4-bit value straddles the 32-bit boundary
+                hi = hi | (val >> np.uint32(32 - s))
+        else:
+            hi = hi | (val << np.uint32(s - 32))
         return hi, lo
 
-    def body(j, state):
-        fhi, flo, rhi, rlo, valid = state
+    # derive the inits from the input so their varying-axis type matches
+    # under shard_map (zeros literals would be "unvarying" there)
+    z = jax.lax.slice(c32, (0,), (n,)) & jnp.uint32(0)
+    fhi = flo = rhi = rlo = z
+    valid = z == 0
+    for j in range(k // 2):
         i = 2 * j
-        c0 = jax.lax.dynamic_slice(c32, (i,), (n,))
-        c1 = jax.lax.dynamic_slice(c32, (i + 1,), (n,))
+        c0 = jax.lax.slice(c32, (i,), (i + n,))
+        c1 = jax.lax.slice(c32, (i + 1,), (i + 1 + n,))
         fpair = ((c0 & three) << 2) | (c1 & three)
         rpair = (((three - c1) & three) << 2) | ((three - c0) & three)
-        sf = jnp.uint32(2 * (k - 2)) - 4 * j.astype(jnp.uint32)
-        sr = 4 * j.astype(jnp.uint32)
-        fhi, flo = put(fhi, flo, fpair, sf)
-        rhi, rlo = put(rhi, rlo, rpair, sr)
+        fhi, flo = put(fhi, flo, fpair, 2 * (k - 2) - 4 * j)
+        rhi, rlo = put(rhi, rlo, rpair, 4 * j)
         valid = valid & (c0 < 4) & (c1 < 4)
-        return fhi, flo, rhi, rlo, valid
-
-    # derive the carry inits from the input so their varying-axis type
-    # matches the body output under shard_map (zeros literals would be
-    # "unvarying" and fail the scan carry check)
-    z = jax.lax.slice(c32, (0,), (n,)) & jnp.uint32(0)
-    valid0 = z == 0
-    fhi, flo, rhi, rlo, valid = jax.lax.fori_loop(
-        0, k // 2, body, (z, z, z, z, valid0))
 
     if k % 2 == 1:
         # odd k: one single-base tail at i = k-1 (static shifts)
@@ -129,14 +123,18 @@ def pack_bases_np(codes: np.ndarray):
 @partial(jax.jit, static_argnums=(2,))
 def unpack_bases(packed: jax.Array, nmask: jax.Array, L: int) -> jax.Array:
     """Device-side unpack of pack_bases_np output -> u8 codes [L]
-    (0-3 valid, 255 invalid)."""
-    idx4 = jnp.arange(L) >> 2
-    sh = (jnp.arange(L) & 3).astype(jnp.uint8) * 2
-    codes = (jnp.take(packed, idx4) >> sh) & 3
-    idx8 = jnp.arange(L) >> 3
-    bit = (jnp.arange(L) & 7).astype(jnp.uint8)
-    bad = (jnp.take(nmask, idx8) >> bit) & 1
-    return jnp.where(bad == 1, jnp.uint8(255), codes.astype(jnp.uint8))
+    (0-3 valid, 255 invalid).
+
+    Broadcast-unpack + contiguous reshape, NOT a gather: position i = 4q+r
+    maps to element (q, r) of a [ceil(L/4), 4] array, so the little-endian
+    bit slices land in order with zero data movement.  (The previous
+    jnp.take formulation issued two L-element narrow gathers — the
+    issue-rate-bound op this module otherwise avoids, ~60 ms / 4 M chunk.)"""
+    sh4 = jnp.arange(4, dtype=jnp.uint8) * 2
+    codes = ((packed[:, None] >> sh4) & 3).astype(jnp.uint8).reshape(-1)[:L]
+    bit8 = jnp.arange(8, dtype=jnp.uint8)
+    bad = ((nmask[:, None] >> bit8) & 1).astype(jnp.uint8).reshape(-1)[:L]
+    return jnp.where(bad == 1, jnp.uint8(255), codes)
 
 
 def canonical_kmers(codes, k: int):

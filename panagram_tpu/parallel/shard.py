@@ -336,8 +336,8 @@ def _anchor_body(codes, table_l, *, k, n_shards, nbits, cap, stride,
 
     codes u8 [C + k - 1]: this device's halo'd chromosome slice (padding
     code 255 -> SENTINEL keys -> zero masks).  The device RLE-compacts its
-    own slice: output row i < count is [local_pos u32 LE | popc u16 LE |
-    mask bytes], the layout of ops/anchor.anchor_chunk_rle2 — the host
+    own slice: output row i < count is [local_pos u24 LE | mask bytes],
+    the data-row layout of ops/anchor.anchor_chunk_rle2 — the host
     reconstructs per shard and concatenates (anchor.cpp:167-177's streamed
     writes, without ever materialising full rows globally)."""
     codes = codes.reshape(-1)
@@ -361,27 +361,9 @@ def _anchor_body(codes, table_l, *, k, n_shards, nbits, cap, stride,
         jnp.arange(C, dtype=jnp.int32))
     rows = rows_sorted[inv]                            # [C, W] position order
 
-    popc = jnp.sum(jax.lax.population_count(rows).astype(jnp.int32),
-                   axis=-1, dtype=jnp.int32)
-    shifts = np.array([0, 8, 16, 24], np.uint32)
-    by = ((rows[:, :, None] >> shifts[None, None, :]) & jnp.uint32(0xFF))
-    by = by.astype(jnp.uint8).reshape(C, 4 * nwords)[:, :nbytes]
+    from ..ops.anchor import rle_payload
 
-    change = jnp.concatenate([
-        jnp.ones(1, bool), jnp.any(rows[1:] != rows[:-1], axis=1)])
-    pos = jnp.cumsum(change.astype(jnp.int32)) - 1
-    count = pos[-1] + 1
-    slots = jnp.where(change & (pos < capacity), pos, capacity)
-
-    iota = jnp.arange(C, dtype=jnp.uint32)
-    pos_bytes = ((iota[:, None] >> shifts[None, :]) & 0xFF).astype(jnp.uint8)
-    popc_bytes = jnp.stack(
-        [(popc & 0xFF).astype(jnp.uint8),
-         ((popc >> 8) & 0xFF).astype(jnp.uint8)], axis=1)
-    payload = jnp.concatenate([pos_bytes, popc_bytes, by], axis=1)
-    out = jnp.zeros((capacity + 1, 6 + nbytes), jnp.uint8).at[slots].set(
-        payload, mode="drop")
-
+    out, count = rle_payload(rows, nbytes, capacity)
     return out[:capacity], count[None].astype(jnp.int64)
 
 
@@ -391,7 +373,7 @@ def sharded_anchor_chunk(mesh, sbd: ShardedBucketedDict,
 
     codes_sharded u8 [S, C + k - 1]: per-device halo'd slices (device d
     covers chunk-local positions [d*C, (d+1)*C)).  Returns
-    (combined u8 [S, capacity, 6 + nbytes], counts i64 [S]) — per-device
+    (combined u8 [S, capacity, 3 + nbytes], counts i64 [S]) — per-device
     RLE buffers; decode with ops.anchor.unpack_rle2 per shard.
     """
     n = mesh.devices.size
@@ -407,7 +389,7 @@ def sharded_anchor_chunk(mesh, sbd: ShardedBucketedDict,
     )
     combined, counts = jax.jit(f)(codes_sharded, sbd.tables)
     C = codes_sharded.shape[1] - (sbd.k - 1)
-    return combined.reshape(n, capacity, 6 + sbd.nbytes_row), \
+    return combined.reshape(n, capacity, 3 + sbd.nbytes_row), \
         counts.reshape(n), C
 
 

@@ -166,49 +166,13 @@ def test_anchor_chunk_fast(rng):
                           bits[:, :ngenomes].sum(axis=0))
 
 
-def test_anchor_chunk_rle(rng):
-    import jax.numpy as jnp
-
-    from panagram_tpu.ops.anchor import anchor_chunk_rle, rle_expand
-
-    ngenomes = 6
-    seqs = [random_seq(rng, 1500, n_frac=0.02) for _ in range(ngenomes)]
-    sets = [genome_kmer_set([s], K) for s in seqs]
-    d = build_dictionary(sets, K)
-    bd = BucketedDict.build(d.keys, d.masks, ngenomes, K)
-    (t1,) = bd.device_arrays()
-    nbytes = (ngenomes + 7) // 8
-
-    seq = seqs[2]
-    codes = seq_to_codes(seq)
-    packed, nmask, L = pack_bases_np(codes)
-    P = L - K + 1
-    pos, byc, popcc, stats = anchor_chunk_rle(
-        jnp.asarray(packed), jnp.asarray(nmask), t1,
-        L, K, bd.nbits, bd.cap, bd.nwords, nbytes, P,
-    )
-    count = int(stats[-1])
-    assert count <= P
-    by = rle_expand(pos, byc, count, P)
-    popc = rle_expand(pos, popcc, count, P)
-
-    want_rows = anchor_np(seq, K, d.keys, d.masks)
-    assert np.array_equal(by, masks_to_bytes_np(want_rows, nbytes))
-    assert np.array_equal(popc, popcount_np(want_rows))
-
-    _, _, _, stats2 = anchor_chunk_rle(
-        jnp.asarray(packed), jnp.asarray(nmask), t1,
-        L, K, bd.nbits, bd.cap, bd.nwords, nbytes, 4,
-    )
-    assert int(stats2[-1]) == count
-
-
 def test_anchor_chunk_rle2(rng):
     import jax.numpy as jnp
 
     from panagram_tpu.ops.anchor import (
-        _pow2_slice,
         anchor_chunk_rle2,
+        collect_rle2,
+        dispatch_rle_prefix,
         pack_bases_combined,
         rle2_colsums,
         unpack_rle2,
@@ -226,21 +190,68 @@ def test_anchor_chunk_rle2(rng):
     codes = seq_to_codes(seq)
     inbuf, L = pack_bases_combined(codes)
     P = L - K + 1
-    out, stats = anchor_chunk_rle2(
+    out = anchor_chunk_rle2(
         jnp.asarray(inbuf), t1, L, K, bd.nbits, bd.cap,
         bd.nwords, nbytes, P,
     )
-    count = int(stats[0])
-    combined_host = _pow2_slice(out, count)
-    by, popc = unpack_rle2(combined_host, count, P, nbytes)
+    data_rows, count = collect_rle2(dispatch_rle_prefix(out), out)
+    assert data_rows is not None and count <= P
+    by, popc = unpack_rle2(data_rows, count, P, nbytes)
 
     want_rows = anchor_np(seq, K, d.keys, d.masks)
     assert np.array_equal(by, masks_to_bytes_np(want_rows, nbytes))
     assert np.array_equal(popc, popcount_np(want_rows))
     bits = np.unpackbits(want_rows.astype("<u4").view(np.uint8), axis=1,
                          bitorder="little")
-    assert np.array_equal(rle2_colsums(combined_host, count, P, ngenomes),
+    assert np.array_equal(rle2_colsums(data_rows, count, P, ngenomes),
                           bits[:, :ngenomes].sum(axis=0))
+
+    # overflow detection: a capacity smaller than the run count must
+    # surface via the header (data_rows None) with the TRUE count intact
+    out2 = anchor_chunk_rle2(
+        jnp.asarray(inbuf), t1, L, K, bd.nbits, bd.cap,
+        bd.nwords, nbytes, 4,
+    )
+    rows2, count2 = collect_rle2(dispatch_rle_prefix(out2), out2)
+    assert rows2 is None and count2 == count
+
+
+def test_collect_rle2_piecewise(rng):
+    """Counts beyond the speculative prefix stream in dynamic-slice pieces;
+    the assembled rows must equal a direct full read (exercised with tiny
+    prefix/piece sizes via monkeypatching the module constants)."""
+    import jax.numpy as jnp
+
+    from panagram_tpu.ops import anchor as A
+
+    ngenomes = 3
+    seqs = [random_seq(rng, 3000, n_frac=0.03) for _ in range(ngenomes)]
+    sets = [genome_kmer_set([s], K) for s in seqs]
+    d = build_dictionary(sets, K)
+    bd = BucketedDict.build(d.keys, d.masks, ngenomes, K)
+    (t1,) = bd.device_arrays()
+    nbytes = (ngenomes + 7) // 8
+
+    codes = seq_to_codes(seqs[1])
+    inbuf, L = A.pack_bases_combined(codes)
+    P = L - K + 1
+    out = A.anchor_chunk_rle2(
+        jnp.asarray(inbuf), t1, L, K, bd.nbits, bd.cap,
+        bd.nwords, nbytes, P)
+    full = np.asarray(out)
+    want_count = int(full[0, :4].copy().view("<u4")[0])
+    want_rows = full[1 : 1 + want_count]
+
+    old_prefix, old_piece = A.RLE_PREFIX, A._PIECE
+    try:
+        A.RLE_PREFIX, A._PIECE = 16, 32
+        A._piece_fns.clear()
+        rows, count = A.collect_rle2(A.dispatch_rle_prefix(out), out)
+    finally:
+        A.RLE_PREFIX, A._PIECE = old_prefix, old_piece
+        A._piece_fns.clear()
+    assert count == want_count
+    assert np.array_equal(rows, want_rows)
 
 
 def test_cpu_anchorer_matches_oracle():
