@@ -147,10 +147,9 @@ def main():
         A.anchor_chunk_rle2.clear_cache()
 
         def run():
-            out, stats = A.anchor_chunk_rle2(
+            combined = A.anchor_chunk_rle2(
                 ib, t1, L, k, bd.nbits, bd.cap, bd.nwords, nbytes, capacity)
-            np.asarray(stats)
-            np.asarray(out[: 1 << 14])
+            np.asarray(A.dispatch_rle_prefix(combined))
 
         dt = timed(name, run)
         print(f"  -> {P/dt/1e6:.1f} M kmers/s")
