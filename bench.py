@@ -46,11 +46,12 @@ def main():
     import jax.numpy as jnp
 
     from panagram_tpu.ops.anchor import (
-        anchor_chunk_fast,
+        PIPELINE_DEPTH,
         anchor_chunk_rle2,
         pack_bases_combined,
         collect_rle2,
         dispatch_rle_prefix,
+        prefix_rows_for,
         unpack_rle2,
     )
     from panagram_tpu.ops.codec import pack_bases_np
@@ -112,11 +113,26 @@ def main():
     def run_once():
         nk = seq_len - k + 1
         buf = np.full(chunk + k - 1, 255, np.uint8)
-        # dispatch every chunk's kernel asynchronously, then drain: device
-        # compute overlaps host packing + d2h transfers; one combined u8
-        # input buffer and one combined u8 output buffer per chunk, and the
-        # run count rides in the output header — no stats round trip
+        # bounded dispatch-ahead pipeline (mirrors Genome._device_chunk_
+        # results): device compute and the ASYNC prefix d2h copies of up
+        # to PIPELINE_DEPTH chunks overlap with host packing + decode; the
+        # run count rides in the output header and each drained chunk's
+        # count sizes later chunks' speculative prefixes — the drain loop
+        # normally performs zero synchronous round trips
         pending = []
+        state = {"total": 0, "hint": None}
+
+        def drain():
+            m, L, combined, prefix = pending.pop(0)
+            P = L - k + 1
+            data_rows, count = collect_rle2(prefix, combined)
+            assert data_rows is not None, "rle capacity overflow in bench"
+            state["hint"] = count
+            by, popc = unpack_rle2(data_rows, count, P, nbytes)
+            by = by[:m]
+            popc = popc[:m]
+            state["total"] += m
+
         for start in range(0, nk, chunk):
             m = min(chunk, nk - start)
             buf[:] = 255
@@ -127,19 +143,14 @@ def main():
                 ib, t1, L, k, bd.nbits, bd.cap,
                 bd.nwords, nbytes, capacity,
             )
-            prefix = dispatch_rle_prefix(combined)
+            prefix = dispatch_rle_prefix(
+                combined, prefix_rows_for(state["hint"], capacity))
             pending.append((m, L, combined, prefix))
-
-        total = 0
-        for m, L, combined, prefix in pending:
-            P = L - k + 1
-            data_rows, count = collect_rle2(prefix, combined)
-            assert data_rows is not None, "rle capacity overflow in bench"
-            by, popc = unpack_rle2(data_rows, count, P, nbytes)
-            by = by[:m]
-            popc = popc[:m]
-            total += m
-        return total
+            if len(pending) >= PIPELINE_DEPTH:
+                drain()
+        while pending:
+            drain()
+        return state["total"]
 
     run_once()  # compile + warm
     _log("bench: warmup done")

@@ -691,11 +691,13 @@ class Genome:
         import jax.numpy as jnp
 
         from .ops.anchor import (
+            PIPELINE_DEPTH,
             anchor_chunk_fast,
             anchor_chunk_rle2,
             collect_rle2,
             dispatch_rle_prefix,
             pack_bases_combined,
+            prefix_rows_for,
             rle2_colsums,
             unpack_rle2,
         )
@@ -705,20 +707,16 @@ class Genome:
         nbytes = self.nbytes
         capacity = chunk // 8
 
+        # bounded dispatch-ahead pipeline: device compute and the async
+        # prefix d2h copies of up to PIPELINE_DEPTH chunks overlap with
+        # host decode of earlier ones, and each drained chunk's observed
+        # run count sizes later chunks' speculative prefixes
         pending = []
-        for start in range(0, nkmers, chunk):
-            m = min(chunk, nkmers - start)
-            buf[:] = 255
-            buf[: m + k - 1] = codes[start : start + m + k - 1]
-            inbuf, L = pack_bases_combined(buf)
-            combined = anchor_chunk_rle2(
-                jnp.asarray(inbuf), t1, L, k, bd.nbits,
-                bd.cap, bd.nwords, nbytes, capacity,
-            )
-            prefix = dispatch_rle_prefix(combined)
-            pending.append((start, m, L, inbuf, combined, prefix))
+        hint = None
 
-        for start, m, L, inbuf, combined, prefix in pending:
+        def _drain():
+            nonlocal hint
+            start, m, L, inbuf, combined, prefix = pending.pop(0)
             P = L - k + 1
             # ONE prefix transfer resolves the run count (row-0 header)
             # and, typically, every data row
@@ -734,11 +732,30 @@ class Genome:
                 popc_np = np.asarray(popc_d)[:m].astype(np.int32)
                 chunk_colsums = np.asarray(colsums_d)[:N]
             else:
+                hint = count
                 by, popc_np = unpack_rle2(data_rows, count, P, nbytes)
                 by = by[:m]
                 popc_np = popc_np[:m]
                 chunk_colsums = rle2_colsums(data_rows, count, P, N)
-            yield start, m, by, popc_np, chunk_colsums
+            return start, m, by, popc_np, chunk_colsums
+
+        for start in range(0, nkmers, chunk):
+            m = min(chunk, nkmers - start)
+            buf[:] = 255
+            buf[: m + k - 1] = codes[start : start + m + k - 1]
+            inbuf, L = pack_bases_combined(buf)
+            combined = anchor_chunk_rle2(
+                jnp.asarray(inbuf), t1, L, k, bd.nbits,
+                bd.cap, bd.nwords, nbytes, capacity,
+            )
+            prefix = dispatch_rle_prefix(
+                combined, prefix_rows_for(hint, capacity))
+            pending.append((start, m, L, inbuf, combined, prefix))
+            if len(pending) >= PIPELINE_DEPTH:
+                yield _drain()
+
+        while pending:
+            yield _drain()
 
     def _mesh_chunk_results(self, mesh, sharded, codes, nkmers, chunk):
         """Distributed chunk engine (parallel/shard.py): each chunk is

@@ -242,16 +242,39 @@ def rle2_colsums(data_rows: np.ndarray, count: int, total: int,
 
 RLE_PREFIX = 1 << 17   # rows (incl. header) speculatively transferred
 _PIECE = 1 << 17       # rows per overflow fetch (one cached program)
+PIPELINE_DEPTH = 4     # chunks dispatched ahead of the drain point
 _piece_fns: dict = {}
 
 
-def dispatch_rle_prefix(combined: jax.Array):
-    """Queue a fixed-size prefix slice of the RLE buffer immediately after
-    the kernel dispatch.  Row 0 is the count header, so ONE transfer of
-    this prefix gives the host the count and (typically) every data row —
-    no separate stats round trip."""
-    n = min(RLE_PREFIX, combined.shape[0])
-    return combined[:n]
+def prefix_rows_for(hint: int | None, capacity: int) -> int:
+    """Speculative prefix size (rows incl. header) for an expected run
+    count, pow2-quantized so the number of distinct slice programs stays
+    logarithmic (remote compiles are 30-500 s on this rig).  A 1.5x margin
+    over the hint absorbs count drift between chunks; None falls back to
+    the static default."""
+    if hint is None:
+        return RLE_PREFIX
+    target = min(hint + (hint >> 1) + 2, capacity + 2)
+    rows = RLE_PREFIX
+    while rows < target:
+        rows *= 2
+    return rows
+
+
+def dispatch_rle_prefix(combined: jax.Array, rows: int | None = None):
+    """Queue a prefix slice of the RLE buffer immediately after the kernel
+    dispatch AND start its device->host copy.  Row 0 is the count header,
+    so ONE transfer of this prefix gives the host the count and (when
+    `rows` covers the run count) every data row — no synchronous round
+    trip in the drain loop: by the time collect_rle2 reads it, the copy
+    has been overlapping with later chunks' device compute."""
+    n = min(rows or RLE_PREFIX, combined.shape[0])
+    pre = combined[:n]
+    try:
+        pre.copy_to_host_async()
+    except Exception:  # pragma: no cover - backend without async copies
+        pass
+    return pre
 
 
 def _fetch_piece(combined: jax.Array, start: int) -> np.ndarray:
