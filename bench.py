@@ -119,21 +119,29 @@ def main():
         # run count rides in the output header and each drained chunk's
         # count sizes later chunks' speculative prefixes — the drain loop
         # normally performs zero synchronous round trips
+        trace = os.environ.get("PANAGRAM_BENCH_TRACE") == "1"
         pending = []
         state = {"total": 0, "hint": None}
 
         def drain():
+            t0 = time.perf_counter()
             m, L, combined, prefix = pending.pop(0)
             P = L - k + 1
             data_rows, count = collect_rle2(prefix, combined)
+            t1 = time.perf_counter()
             assert data_rows is not None, "rle capacity overflow in bench"
             state["hint"] = count
             by, popc = unpack_rle2(data_rows, count, P, nbytes)
             by = by[:m]
             popc = popc[:m]
+            if trace:
+                _log(f"  drain: count={count} prefix_rows={prefix.shape[0]} "
+                     f"collect={1e3*(t1-t0):.0f}ms "
+                     f"decode={1e3*(time.perf_counter()-t1):.0f}ms")
             state["total"] += m
 
         for start in range(0, nk, chunk):
+            t0 = time.perf_counter()
             m = min(chunk, nk - start)
             buf[:] = 255
             buf[: m + k - 1] = anchor_codes[start : start + m + k - 1]
@@ -146,6 +154,8 @@ def main():
             prefix = dispatch_rle_prefix(
                 combined, prefix_rows_for(state["hint"], capacity))
             pending.append((m, L, combined, prefix))
+            if trace:
+                _log(f"  dispatch: {1e3*(time.perf_counter()-t0):.0f}ms")
             if len(pending) >= PIPELINE_DEPTH:
                 drain()
         while pending:
@@ -173,10 +183,18 @@ def main():
     assert np.array_equal(by[:p_n], masks_to_bytes_np(want, nbytes)), \
         "device/oracle bitmap mismatch"
     _log("bench: device parity vs oracle OK")
-    t0 = time.perf_counter()
-    total = run_once()
-    dt = time.perf_counter() - t0
-    device_rate = total / dt
+    # best-of-3: this host is shared and noisy (identical host-side decode
+    # work measured anywhere from 13 ms to 2 s under contention) — the best
+    # rep is the steady-state capability; the same policy is applied to the
+    # CPU baseline below so the ratio stays fair
+    reps = 1 if quick else 3
+    device_rate = 0.0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        total = run_once()
+        dt = time.perf_counter() - t0
+        device_rate = max(device_rate, total / dt)
+        _log(f"bench: device rep {total/dt/1e6:.2f} Mkmers/s")
     _log(f"bench: device {device_rate/1e6:.2f} Mkmers/s")
 
     # CPU baseline: the multithreaded C++ open-addressed-hash anchorer
@@ -190,11 +208,12 @@ def main():
         from panagram_tpu.native.anchor_cpu import CpuAnchorer
 
         ca = CpuAnchorer(d.keys, d.masks)
-        t0 = time.perf_counter()
-        ca.anchor(anchor_codes[: cpu_len + k - 1], k, nbytes,
-                  threads=ncores)
-        cpu_dt = time.perf_counter() - t0
-        cpu_rate = cpu_len / cpu_dt
+        cpu_rate = 0.0
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            ca.anchor(anchor_codes[: cpu_len + k - 1], k, nbytes,
+                      threads=ncores)
+            cpu_rate = max(cpu_rate, cpu_len / (time.perf_counter() - t0))
         _log(f"bench: cpu baseline (C++ hash, {ncores} threads) "
              f"{cpu_rate/1e6:.2f} Mkmers/s")
     except OSError:

@@ -250,10 +250,13 @@ def prefix_rows_for(hint: int | None, capacity: int) -> int:
     """Speculative prefix size (rows incl. header) for an expected run
     count, pow2-quantized so the number of distinct slice programs stays
     logarithmic (remote compiles are 30-500 s on this rig).  A 1.5x margin
-    over the hint absorbs count drift between chunks; None falls back to
-    the static default."""
+    over the hint absorbs count drift between chunks; None (no observed
+    count yet — the first PIPELINE_DEPTH dispatches) transfers the FULL
+    buffer: the copy is async and overlaps later compute, whereas an
+    undersized prefix costs a synchronous piece-fetch round trip per miss
+    (~0.5 s each on this link — measured to dominate cold-start chunks)."""
     if hint is None:
-        return RLE_PREFIX
+        return capacity + 2
     target = min(hint + (hint >> 1) + 2, capacity + 2)
     rows = RLE_PREFIX
     while rows < target:
