@@ -9,9 +9,10 @@ normalization `gnm`, optional edge taper `edg`, mean/median smoothing
 REF-space), and emit merged BED calls plus similarity heatmaps.
 
 The expensive per-(anchor, chromosome) work — bitmap query, binning,
-preprocessing — is computed once and shared across ALL thresholds; the
-threshold loop itself is a cheap elementwise comparison per threshold
-(SURVEY §2.7 P7's fan-out collapses to reuse of the shared binned matrix).
+preprocessing, similarity frames — is computed once and shared across ALL
+thresholds; the thresholds themselves are applied as one broadcast
+comparison over a [T, bins] matrix (SURVEY §2.7 P7's per-threshold process
+fan-out re-expressed as an array axis).
 """
 
 from __future__ import annotations
@@ -122,8 +123,11 @@ def preprocess_binned_bitmap(binned, genome_similarities,
     return binned
 
 
-def threshold_introgressions(binned, anchor, comp_group, threshold):
-    """2-way / 3-way threshold logic (reference :289-339)."""
+def similarity_frame(binned, anchor, comp_group):
+    """Threshold-INDEPENDENT similarity columns for one comparison group
+    (the expensive half of reference :289-339): mean similarity of the
+    anchor's own group, max of the comparison group, and (3-way) the mean
+    REF similarity.  Computed once and shared by every threshold."""
     anchor_group = binned.loc[anchor, "group"]
     own = (binned[binned["group"] == anchor_group]
            .drop(columns=["group"]).drop(anchor, axis=0))
@@ -131,23 +135,45 @@ def threshold_introgressions(binned, anchor, comp_group, threshold):
 
     sims = own.mean(axis=0).to_frame(name="anchor_sim")
     sims["comp_sim"] = comp.max(axis=0)
-
-    if comp_group == "REF":
-        sims["introgression"] = (sims.comp_sim < threshold).astype(int)
-    else:
+    if comp_group != "REF":
         ref = binned[binned["group"] == "REF"].drop(columns=["group"])
         sims["ref_sim"] = ref.mean(axis=0)
-        sims["introgression"] = (
-            (sims.ref_sim < 0.95) & (sims.comp_sim >= sims.ref_sim + threshold)
-        ).astype(int)
+    return sims
+
+
+def similarity_frame_simple(binned, anchor):
+    """REF-space variant of similarity_frame (reference :342-358)."""
+    sims = binned.drop(columns=["group"]).loc[anchor].to_frame(name="anchor_sim")
+    sims["comp_sim"] = pd.NA
+    return sims
+
+
+def threshold_matrix(sims, comp_group, thresholds, simple=False):
+    """ALL thresholds applied in one broadcast comparison: int [T, bins]
+    (SURVEY §2.7 P7 — the reference fans a process per threshold; here the
+    threshold axis is an array axis over the shared similarity frame)."""
+    thr = np.asarray(thresholds, dtype=float)[:, None]
+    if simple:
+        return (sims["anchor_sim"].to_numpy(float)[None, :] < thr).astype(int)
+    if comp_group == "REF":
+        return (sims["comp_sim"].to_numpy(float)[None, :] < thr).astype(int)
+    ref_sim = sims["ref_sim"].to_numpy(float)[None, :]
+    comp_sim = sims["comp_sim"].to_numpy(float)[None, :]
+    return ((ref_sim < 0.95) & (comp_sim >= ref_sim + thr)).astype(int)
+
+
+def threshold_introgressions(binned, anchor, comp_group, threshold):
+    """2-way / 3-way threshold logic (reference :289-339)."""
+    sims = similarity_frame(binned, anchor, comp_group)
+    sims["introgression"] = threshold_matrix(sims, comp_group, [threshold])[0]
     return sims
 
 
 def threshold_introgressions_simple(binned, anchor, threshold):
     """REF-space simple threshold (reference :342-358)."""
-    sims = binned.drop(columns=["group"]).loc[anchor].to_frame(name="anchor_sim")
-    sims["comp_sim"] = pd.NA
-    sims["introgression"] = (sims.anchor_sim < threshold).astype(int)
+    sims = similarity_frame_simple(binned, anchor)
+    sims["introgression"] = threshold_matrix(sims, None, [threshold],
+                                             simple=True)[0]
     return sims
 
 
@@ -217,7 +243,21 @@ def run_introgression_finder(anchor, genome, ref_genome, chr_name, groups,
     binned = binned.merge(groups, left_index=True, right_index=True, how="left")
     vis_bitmap = binned
 
-    for threshold in thresholds:
+    # similarity frames are threshold-independent: compute each comparison
+    # group's once, then apply EVERY threshold as one broadcast comparison
+    # ([T, bins] matrix) — SURVEY §2.7 P7's threshold fan-out as an array axis
+    sims_by_comp = {}
+    mat_by_comp = {}
+    for comp_group in comp_groups:
+        if using_ref_space:
+            sims = similarity_frame_simple(binned, anchor)
+        else:
+            sims = similarity_frame(binned, anchor, comp_group)
+        sims_by_comp[comp_group] = sims
+        mat_by_comp[comp_group] = threshold_matrix(
+            sims, comp_group, thresholds, simple=using_ref_space)
+
+    for ti, threshold in enumerate(thresholds):
         merged = None
         threshold_dir = output_dir / f"{output_dir.name}_{threshold}"
         raw_dir = threshold_dir / "raw"
@@ -226,13 +266,10 @@ def run_introgression_finder(anchor, genome, ref_genome, chr_name, groups,
             (threshold_dir / "heatmaps").mkdir(parents=True, exist_ok=True)
 
         for comp_group in comp_groups:
-            if using_ref_space:
-                intros = threshold_introgressions_simple(binned, anchor, threshold)
-            else:
-                intros = threshold_introgressions(binned, anchor, comp_group,
-                                                  threshold)
-                if comp_group == "REF":
-                    comp_group = "REFA"
+            intros = sims_by_comp[comp_group].copy()
+            intros["introgression"] = mat_by_comp[comp_group][ti]
+            if not using_ref_space and comp_group == "REF":
+                comp_group = "REFA"
 
             if len(comp_groups) > 1:
                 merged = intros if merged is None else merged + intros
