@@ -256,20 +256,29 @@ def bucket_query_sorted(canon: jax.Array, table: jax.Array,
     contiguous bucket slices (Pallas double-buffered DMA, pallas_kernels
     .probe_sorted) instead of issuing one random wide gather per query —
     the sequential-read pattern runs at HBM bandwidth where the gather is
-    issue-rate-bound (~1% of roofline; ROUND1_NOTES.md).  The sort and the
-    inverse permutation are radix sorts (~11 ms / 4M keys measured), both
-    far cheaper than the gather they replace.
+    issue-rate-bound (~1% of roofline; ROUND1_NOTES.md).
 
-    Correctness is unconditional: a per-tile bucket-span check (can tile t
-    see all its buckets inside [blo[t], blo[t]+span)?) selects the Pallas
-    path only when the geometry holds — lax.cond falls back to the gather
-    probe otherwise (rare: span violations need ~TILE_Q consecutive sorted
-    queries to straddle > span buckets)."""
+    Cost structure and the three levers (measured, ROUND2_NOTES.md):
+    * the forward sort only has to GROUP queries by bucket — it is keyed
+      on the high 32 bits alone (buckets are the top nbits <= 32 bits),
+      a u32 radix sort instead of u64;
+    * the kernel's row-select matmul costs tile_q x span x stride MACs,
+      and span scales with tile_q x Bp/Qp — both are env-tunable
+      (PANAGRAM_TPU_TILE_Q / PANAGRAM_TPU_PROBE_SPAN);
+    * a tight span (1.5x the expected per-tile bucket coverage) leaves a
+      small tail of out-of-span queries: these are FIXED UP with a small
+      gather probe + scatter instead of abandoning the whole batch — the
+      lax.cond full fallback only triggers when the tail exceeds the
+      fixup capacity (~1.5% of Q), which needs a pathological key skew.
+    """
     from . import pallas_kernels as pk
 
     Q0 = canon.shape[0]
     B = 1 << nbits
     stride = table.shape[1]
+    # floor 1024: Mosaic tiles 1D u32 operands at T(1024) — smaller block
+    # shapes fail layout verification on hardware
+    tile_q = max(int(os.environ.get("PANAGRAM_TPU_TILE_Q", pk.TILE_Q)), 1024)
     # Mosaic VMEM slices must be 128-lane aligned: pack adjacent buckets
     # into one DMA row until the row width is a multiple of 128 u32 (the
     # kernel safely matches across all packed buckets — an exact (hi, lo)
@@ -281,44 +290,69 @@ def bucket_query_sorted(canon: jax.Array, table: jax.Array,
     Bp = B // pack
     m0 = canon.astype(jnp.uint64) if pre_mixed else mix64(canon)
     ALL1 = U64(0xFFFFFFFFFFFFFFFF)
-    Qp = -(-Q0 // pk.TILE_Q) * pk.TILE_Q
+    S32 = jnp.uint32(0xFFFFFFFF)
+    Qp = -(-Q0 // tile_q) * tile_q
 
-    # bucket-slice height (packed rows per tile): the one-hot row-select
-    # matmul scales with span, so size it to the geometry — a tile of
-    # TILE_Q sorted uniform queries covers TILE_Q*Bp/Qp rows on average
-    # with ~sqrt(TILE_Q) fluctuation; 4x the mean is a >100-sigma margin
-    # (the cond fallback still guarantees correctness).  Cap by VMEM
-    # scratch (~4 MB for 2 buffers) and floor at 256 rows.
-    expect = max(pk.TILE_Q * Bp // Qp, 1)
-    span = min(pk.SPAN, Bp, max((1 << 19) // (stride * pack), 256),
-               max(4 * expect, 256))
+    # bucket-slice height (packed rows per tile): a tile of tile_q sorted
+    # uniform queries covers tile_q*Bp/Qp rows on average; 1.5x the mean
+    # (multiple of 8, floor 64) leaves a tiny out-of-span tail for the
+    # fixup.  Cap by VMEM scratch (~4 MB for the 2 DMA buffers).
+    expect = max(tile_q * Bp // Qp, 1)
+    span = min(Bp, max((1 << 19) // (stride * pack), 64),
+               max((-(-3 * expect // 2) + 7) & ~7, 64))
     env_span = os.environ.get("PANAGRAM_TPU_PROBE_SPAN")
     if env_span:
         span = min(int(env_span), Bp)
-    m = m0 if Qp == Q0 else jnp.concatenate(
-        [m0, jnp.full(Qp - Q0, ALL1, jnp.uint64)])
+    fixup = max(Qp >> 6, tile_q)
 
+    mhi0 = (m0 >> U64(32)).astype(jnp.uint32)
+    mlo0 = (m0 & U64(0xFFFFFFFF)).astype(jnp.uint32)
+    if Qp != Q0:
+        padv = jnp.full(Qp - Q0, S32, jnp.uint32)
+        mhi0 = jnp.concatenate([mhi0, padv])
+        mlo0 = jnp.concatenate([mlo0, padv])
+
+    # grouping sort keyed on the high 32 bits only (u32 radix beats u64;
+    # slot matching inside the kernel compares full (hi, lo) anyway, so
+    # same-hi ties need no order)
     idx = jnp.arange(Qp, dtype=jnp.int32)
-    ms, idxs = jax.lax.sort((m, idx), num_keys=1)
-    brow = ((ms >> U64(64 - nbits)).astype(jnp.int32)
-            >> (pack.bit_length() - 1))
-    blo = jnp.clip(brow[:: pk.TILE_Q], 0, Bp - span)
+    qhi, qlo, idxs = jax.lax.sort((mhi0, mlo0, idx), num_keys=1)
+    brow = (qhi >> jnp.uint32(32 - nbits)).astype(jnp.int32) \
+        >> (pack.bit_length() - 1)
+    blo = jnp.clip(brow[::tile_q], 0, Bp - span)
     # padding / reserved all-ones keys never hit (kernel masks them), so
     # they are exempt from the span requirement
-    inspan = (brow - jnp.repeat(blo, pk.TILE_Q) < span) | (ms == ALL1)
-    ok = jnp.all(inspan)
-
-    qhi = (ms >> U64(32)).astype(jnp.uint32)
-    qlo = (ms & U64(0xFFFFFFFF)).astype(jnp.uint32)
+    is_pad = (qhi == S32) & (qlo == S32)
+    flags = ~((brow - jnp.repeat(blo, tile_q) < span) | is_pad)
+    # int32 running index (NOT jnp.nonzero: under x64 its int64 cumsum
+    # lowers to a paired-u32 reduce-window that exceeds TPU scoped VMEM)
+    cnt = jnp.cumsum(flags.astype(jnp.int32)) - 1
+    n_out = cnt[-1] + 1
+    ok = n_out <= fixup
 
     def fast(_):
         rows_t = pk.probe_sorted(qhi, qlo, blo,
                                  table.reshape(Bp, stride * pack),
-                                 nbits, cap, nwords, span=span, pack=pack)
+                                 nbits, cap, nwords, span=span, pack=pack,
+                                 tile_q=tile_q)
+        # compact the out-of-span positions by scatter (the rle_payload
+        # pattern) and fix them up with a narrow gather probe; slots past
+        # n_out stay 0 and are masked by valid_fix
+        slots = jnp.where(flags & (cnt < fixup), cnt, fixup)
+        idx_out = jnp.zeros(fixup + 1, jnp.int32).at[slots].set(
+            jnp.arange(Qp, dtype=jnp.int32), mode="drop")[:fixup]
+        valid_fix = jnp.arange(fixup, dtype=jnp.int32) < n_out
+        sub_m = (qhi[idx_out].astype(jnp.uint64) << U64(32)) \
+            | qlo[idx_out].astype(jnp.uint64)
+        fixed = bucket_query(sub_m, table, nbits, cap, nwords,
+                             pre_mixed=True)
+        rows_fixed = tuple(
+            rows_t[w].at[idx_out].set(
+                jnp.where(valid_fix, fixed[:, w], rows_t[w][idx_out]))
+            for w in range(nwords))
         # inverse permutation by sorting on the original index (sort-based
         # permute: a gather here would reintroduce the issue-rate wall)
-        srt = jax.lax.sort((idxs,) + tuple(rows_t[w] for w in range(nwords)),
-                           num_keys=1)
+        srt = jax.lax.sort((idxs,) + rows_fixed, num_keys=1)
         return jnp.stack(srt[1:], axis=1)[:Q0]
 
     def slow(_):

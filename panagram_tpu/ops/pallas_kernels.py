@@ -23,8 +23,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE = 2048  # positions per grid step (rows tile: [TILE, W] u32 in VMEM)
 
-# merge-probe geometry: queries per grid step / table buckets per slice
-TILE_Q = 2048
+# merge-probe geometry: queries per grid step / table buckets per slice.
+# TILE_Q=1024 measured best on v5e (the row-select matmul cost per query
+# scales with tile_q x Bp/Qp; 1024 is Mosaic's minimum 1D block tile) —
+# tools/sweep_span.py, ROUND2_NOTES.md
+TILE_Q = 1024
 SPAN = 2048
 
 
@@ -206,13 +209,13 @@ def _probe_kernel(blo_ref, qhi_ref, qlo_ref, table_ref, out_ref,
 def probe_sorted(qhi: jax.Array, qlo: jax.Array, blo: jax.Array,
                  table: jax.Array, nbits: int, cap: int, nwords: int,
                  span: int = SPAN, pack: int = 1,
-                 onehot: bool | None = None):
-    """qhi/qlo u32 [Q] (sorted by (hi, lo) ascending), blo i32 [Q/TILE_Q]
+                 onehot: bool | None = None, tile_q: int = TILE_Q):
+    """qhi/qlo u32 [Q] (grouped by bucket ascending), blo i32 [Q/tile_q]
     (first clamped packed-row index per tile), table u32 [B/pack,
     pack*sub] (pack adjacent buckets per row) -> rows u32 [W, Q].
-    Requires Q % TILE_Q == 0 and every tile's packed rows within
-    [blo[t], blo[t] + span) — the caller (bucket_query_sorted) verifies
-    the span and falls back to the gather probe otherwise."""
+    Requires Q % tile_q == 0 and every tile's packed rows within
+    [blo[t], blo[t] + span) — the caller (bucket_query_sorted) checks the
+    span and patches the out-of-span tail (or falls back entirely)."""
     if onehot is None:
         env = os.environ.get("PANAGRAM_TPU_PROBE_ONEHOT")
         if env is not None:
@@ -226,7 +229,7 @@ def probe_sorted(qhi: jax.Array, qlo: jax.Array, blo: jax.Array,
     Q = qhi.shape[0]
     stride = table.shape[1]
     assert stride % pack == 0
-    ntiles = Q // TILE_Q
+    ntiles = Q // tile_q
     kern = partial(_probe_kernel, nbits=nbits, cap=cap,
                    sub=stride // pack, pack=pack,
                    nwords=nwords, span=span, onehot=onehot)
@@ -234,13 +237,13 @@ def probe_sorted(qhi: jax.Array, qlo: jax.Array, blo: jax.Array,
         num_scalar_prefetch=1,
         grid=(ntiles,),
         in_specs=[
-            pl.BlockSpec((TILE_Q,), lambda t, blo: (t,),
+            pl.BlockSpec((tile_q,), lambda t, blo: (t,),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_Q,), lambda t, blo: (t,),
+            pl.BlockSpec((tile_q,), lambda t, blo: (t,),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((nwords, TILE_Q), lambda t, blo: (0, t),
+        out_specs=pl.BlockSpec((nwords, tile_q), lambda t, blo: (0, t),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, span, stride), jnp.uint32),

@@ -84,33 +84,41 @@ def test_bucket_query_sorted_matches_gather(rng, ngenomes):
     assert np.array_equal(got, want)
 
 
-def test_bucket_query_sorted_span_fallback(rng, monkeypatch):
-    """When a tile's sorted queries straddle more buckets than one VMEM
-    slice covers, the cond must route to the gather probe — results stay
-    identical either way."""
+def test_bucket_query_sorted_span_fixup_and_fallback(rng, monkeypatch):
+    """A deliberately tiny span pushes queries out of their tile's VMEM
+    slice: a tail small enough for the fixup capacity is patched by the
+    gather-probe fixup (fast path), a larger one routes the whole batch
+    to the gather fallback — results must be identical either way."""
     import jax.numpy as jnp
 
-    from panagram_tpu.ops import pallas_kernels as pk
     from panagram_tpu.ops import lookup
 
     keys = np.unique(rng.integers(0, 1 << 62, 8000, dtype=np.uint64))
     masks = rng.integers(1, 1 << 31, (len(keys), 1)).astype(np.uint32)
     bd = BucketedDict.build(keys, masks, 30, 21)
-    assert (1 << bd.nbits) > 8  # span below forces straddling tiles
+    assert (1 << bd.nbits) > 8  # span below forces out-of-span queries
     (t1,) = bd.device_arrays()
 
-    q = jnp.asarray(np.concatenate(
-        [keys[: 1000], rng.integers(0, 1 << 62, 200, dtype=np.uint64)]))
-    want = np.asarray(bucket_query(q, t1, bd.nbits, bd.cap, bd.nwords))
-
-    monkeypatch.setattr(pk, "SPAN", 8)
-    lookup.bucket_query_sorted.clear_cache()  # span is read at trace time
+    monkeypatch.setenv("PANAGRAM_TPU_PROBE_SPAN", "8")
+    lookup.bucket_query_sorted.clear_cache()  # env is read at trace time
     try:
+        # fixup path: ~1200 out-of-span queries < fixup capacity (2048)
+        q = jnp.asarray(np.concatenate(
+            [keys[:1000], rng.integers(0, 1 << 62, 200, dtype=np.uint64)]))
+        want = np.asarray(bucket_query(q, t1, bd.nbits, bd.cap, bd.nwords))
         got = np.asarray(
             lookup.bucket_query_sorted(q, t1, bd.nbits, bd.cap, bd.nwords))
+        assert np.array_equal(got, want)
+
+        # fallback path: ~5000 out-of-span queries > fixup capacity
+        q2 = jnp.asarray(np.concatenate(
+            [keys[:4000], rng.integers(0, 1 << 62, 1000, dtype=np.uint64)]))
+        want2 = np.asarray(bucket_query(q2, t1, bd.nbits, bd.cap, bd.nwords))
+        got2 = np.asarray(
+            lookup.bucket_query_sorted(q2, t1, bd.nbits, bd.cap, bd.nwords))
+        assert np.array_equal(got2, want2)
     finally:
         lookup.bucket_query_sorted.clear_cache()
-    assert np.array_equal(got, want)
 
 
 def test_bucket_build_retries_until_fit(rng):

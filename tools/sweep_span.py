@@ -1,12 +1,16 @@
 #!/usr/bin/env python
-"""Span sweep for the Pallas merge probe (ops/pallas_kernels.probe_sorted).
+"""Geometry sweep for the Pallas merge probe (ops/pallas_kernels.probe_sorted).
 
-The merge-probe kernel's row-select is an MXU one-hot matmul whose cost is
-TILE_Q x span x stride MACs x 4 byte planes — span is the main lever
-(ROUND2_NOTES.md).  This times bucket_query_sorted at several spans plus
-the gather probe reference, on whatever accelerator is attached.
+The merge-probe kernel's row-select is an MXU one-hot matmul whose cost per
+query is span x stride MACs x 4 byte planes, and span scales with
+tile_q x Bp/Qp — so (tile_q, span) are swept together.  Out-of-span
+queries are patched by the gather-probe fixup (ops/lookup.py), so tight
+spans stay correct; the sweep reports each config's expected out-of-span
+tail vs the fixup capacity (beyond it the library silently falls back to
+the gather probe, making the timing meaningless).
 
-Usage: python tools/sweep_span.py [--chunk LOG2] [--genomes N] [--spans ...]
+Usage: python tools/sweep_span.py [--chunk LOG2] [--genomes N]
+                                  [--configs tile_q:span ...]
 """
 
 import argparse
@@ -31,7 +35,7 @@ def timed(label, fn, reps=3):
         t0 = time.perf_counter()
         fn()
         best = min(best, time.perf_counter() - t0)
-    print(f"{label:28s} {best*1e3:9.1f} ms", flush=True)
+    print(f"{label:34s} {best*1e3:9.1f} ms", flush=True)
     return best
 
 
@@ -39,8 +43,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--chunk", type=int, default=22)
     ap.add_argument("--genomes", type=int, default=30)
-    ap.add_argument("--spans", type=int, nargs="*",
-                    default=[1024, 512, 256])
+    ap.add_argument("--configs", nargs="*",
+                    default=["2048:0", "1024:0", "512:0"],
+                    help="tile_q:span pairs; span 0 = library default")
     args = ap.parse_args()
 
     import panagram_tpu  # noqa: F401
@@ -48,8 +53,9 @@ def main():
     import jax.numpy as jnp
     from functools import partial
 
+    from panagram_tpu.ops import lookup as L
     from panagram_tpu.ops.lookup import (BucketedDict, bucket_query,
-                                         bucket_query_sorted)
+                                         bucket_query_sorted, mix64_np)
     from panagram_tpu.ops.ref_impl import build_dict_np, canonical_kmers_np
 
     k = 21
@@ -90,39 +96,50 @@ def main():
     qs = partial(bucket_query_sorted, nbits=bd.nbits, cap=bd.cap,
                  nwords=bd.nwords)
 
-    # host-side span feasibility (a too-small span silently lax.cond-falls
-    # back to the gather probe, making its timing meaningless)
-    from panagram_tpu.ops.lookup import mix64_np
-    import panagram_tpu.ops.pallas_kernels as pk
-
     stride = bd.stride
     B = 1 << bd.nbits
     pack = 1
     while (stride * pack) % 128 or B % pack:
         pack *= 2
     Bp = B // pack
-    Qp = -(-P // pk.TILE_Q) * pk.TILE_Q
-    ms = np.sort(mix64_np(canon_np))
-    ms = np.concatenate([ms, np.full(Qp - P, np.uint64(2**64 - 1))])
-    brow = (ms >> np.uint64(64 - bd.nbits)).astype(np.int64) >> (
+    mixed = np.sort(mix64_np(canon_np))
+    brow_all = (mixed >> np.uint64(64 - bd.nbits)).astype(np.int64) >> (
         pack.bit_length() - 1)
 
-    for span in args.spans:
-        blo = np.clip(brow[:: pk.TILE_Q], 0, Bp - span)
-        inspan = ((brow - np.repeat(blo, pk.TILE_Q) < span)
-                  | (ms == np.uint64(2**64 - 1)))
-        if not inspan.all():
-            print(f"merge probe span={span}: INFEASIBLE "
-                  f"({(~inspan).sum()} out-of-span queries) — skipping",
-                  flush=True)
-            continue
-        os.environ["PANAGRAM_TPU_PROBE_SPAN"] = str(span)
+    for cfg in args.configs:
+        tq_s, sp_s = cfg.split(":")
+        tile_q, env_span = int(tq_s), int(sp_s)
+        os.environ["PANAGRAM_TPU_TILE_Q"] = str(tile_q)
+        if env_span:
+            os.environ["PANAGRAM_TPU_PROBE_SPAN"] = str(env_span)
+        else:
+            os.environ.pop("PANAGRAM_TPU_PROBE_SPAN", None)
+
+        # replicate the library's geometry to report the fixup load
+        Qp = -(-P // tile_q) * tile_q
+        expect = max(tile_q * Bp // Qp, 1)
+        span = env_span or min(
+            Bp, max((1 << 19) // (stride * pack), 64),
+            max((-(-3 * expect // 2) + 7) & ~7, 64))
+        fixup = max(Qp >> 6, tile_q)
+        brow = np.concatenate(
+            [brow_all, np.full(Qp - P, Bp - 1, np.int64)])
+        blo = np.clip(brow[::tile_q], 0, Bp - span)
+        pad = np.zeros(Qp, bool)
+        pad[P:] = True
+        n_out = int(((brow - np.repeat(blo, tile_q) >= span) & ~pad).sum())
+        note = f"out={n_out}/{fixup}"
+        if n_out > fixup:
+            note += "  FALLBACK (timing = gather path)"
+
+        bucket_query_sorted.clear_cache()
         fn = jax.jit(lambda c, t: qs(c, t).sum())
         got = np.asarray(fn(canon_dev, t1))
         ok = "OK" if got == ref else f"MISMATCH {got} != {ref}"
-        t_p = timed(f"merge probe span={span}",
+        t_p = timed(f"merge tile_q={tile_q} span={span}",
                     lambda: np.asarray(fn(canon_dev, t1)))
-        print(f"  -> {P/t_p/1e6:.1f} M rows/s  parity {ok}", flush=True)
+        print(f"  -> {P/t_p/1e6:.1f} M rows/s  parity {ok}  {note}",
+              flush=True)
 
 
 if __name__ == "__main__":
