@@ -123,6 +123,14 @@ def main():
         pending = []
         state = {"total": 0, "hint": None}
 
+        # persistent decode buffers: fresh ~17 MB allocations per chunk
+        # intermittently stall >1 s on sandbox page faults (measured 12 ms
+        # reused vs 1.3 s fresh); fill() commits the pages once
+        out_b = np.empty((chunk, nbytes), np.uint8)
+        out_p = np.empty(chunk, np.int32)
+        out_b.fill(0)
+        out_p.fill(0)
+
         def drain():
             t0 = time.perf_counter()
             m, L, combined, prefix = pending.pop(0)
@@ -131,7 +139,8 @@ def main():
             t1 = time.perf_counter()
             assert data_rows is not None, "rle capacity overflow in bench"
             state["hint"] = count
-            by, popc = unpack_rle2(data_rows, count, P, nbytes)
+            by, popc = unpack_rle2(data_rows, count, P, nbytes,
+                                   out=(out_b[:P], out_p[:P]))
             by = by[:m]
             popc = popc[:m]
             if trace:
@@ -208,11 +217,18 @@ def main():
         from panagram_tpu.native.anchor_cpu import CpuAnchorer
 
         ca = CpuAnchorer(d.keys, d.masks)
+        # same buffer-reuse courtesy as the device loop (fresh multi-MB
+        # allocations stall on sandbox page faults — both sides of the
+        # ratio get persistent, pre-touched outputs)
+        cpu_b = np.empty((cpu_len, nbytes), np.uint8)
+        cpu_p = np.empty(cpu_len, np.int32)
+        cpu_b.fill(0)
+        cpu_p.fill(0)
         cpu_rate = 0.0
         for _ in range(reps):
             t0 = time.perf_counter()
             ca.anchor(anchor_codes[: cpu_len + k - 1], k, nbytes,
-                      threads=ncores)
+                      threads=ncores, out=(cpu_b, cpu_p))
             cpu_rate = max(cpu_rate, cpu_len / (time.perf_counter() - t0))
         _log(f"bench: cpu baseline (C++ hash, {ncores} threads) "
              f"{cpu_rate/1e6:.2f} Mkmers/s")

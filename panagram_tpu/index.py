@@ -714,6 +714,16 @@ class Genome:
         pending = []
         hint = None
 
+        # persistent decode buffers: a fresh ~17 MB allocation per chunk
+        # intermittently stalls >1 s on sandbox page faults (measured;
+        # see rle_expand_native) — fill() commits the pages once.  Safe
+        # to reuse: the consumer (run_anchor) fully processes each
+        # yielded chunk before the generator drains the next.
+        out_b = np.empty((chunk, nbytes), np.uint8)
+        out_p = np.empty(chunk, np.int32)
+        out_b.fill(0)
+        out_p.fill(0)
+
         def _drain():
             nonlocal hint
             start, m, L, inbuf, combined, prefix = pending.pop(0)
@@ -733,7 +743,8 @@ class Genome:
                 chunk_colsums = np.asarray(colsums_d)[:N]
             else:
                 hint = count
-                by, popc_np = unpack_rle2(data_rows, count, P, nbytes)
+                by, popc_np = unpack_rle2(data_rows, count, P, nbytes,
+                                          out=(out_b[:P], out_p[:P]))
                 by = by[:m]
                 popc_np = popc_np[:m]
                 chunk_colsums = rle2_colsums(data_rows, count, P, N)
@@ -774,6 +785,14 @@ class Genome:
         C_dev = -(-chunk // S)
         capacity = max(C_dev // 8, 1024)
 
+        # per-device persistent decode buffers (see _device_chunk_results:
+        # fresh allocations stall on sandbox page faults); one slab per
+        # device because the decoded views are held until concatenation
+        out_b = np.empty((S, C_dev, nbytes), np.uint8)
+        out_p = np.empty((S, C_dev), np.int32)
+        out_b.fill(0)
+        out_p.fill(0)
+
         pending = []
         for start in range(0, nkmers, chunk):
             m = min(chunk, nkmers - start)
@@ -799,7 +818,8 @@ class Genome:
                 real = min(max(m - d * C_dev, 0), C_dev)
                 if real == 0:
                     break
-                by_d, popc_d = unpack_rle2(comb[d], cd, C_dev, nbytes)
+                by_d, popc_d = unpack_rle2(comb[d], cd, C_dev, nbytes,
+                                           out=(out_b[d], out_p[d]))
                 parts_by.append(by_d[:real])
                 parts_popc.append(popc_d[:real])
                 # padding rows carry zero masks, so the full-slice totals

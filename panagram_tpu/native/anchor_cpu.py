@@ -36,12 +36,23 @@ _lib.acpu_rle_expand.argtypes = [
 
 
 def rle_expand_native(rows: np.ndarray, count: int, total: int,
-                      nbytes: int):
+                      nbytes: int, out=None):
     """Decode anchor_chunk_rle2 RLE rows -> (bytes u8 [total, nbytes],
-    popc i32 [total]); same contract as ops.anchor.unpack_rle2."""
+    popc i32 [total]); same contract as ops.anchor.unpack_rle2.
+
+    `out=(out_b, out_p)` reuses caller-owned buffers: on this sandbox a
+    fresh ~17 MB allocation intermittently stalls >1 s on first-touch
+    page faults (measured 12 ms reused vs up to 1.3 s fresh), so the
+    streaming drains pass persistent buffers."""
     rows = np.ascontiguousarray(rows[:count], np.uint8)
-    out_b = np.empty((total, nbytes), np.uint8)
-    out_p = np.empty(total, np.int32)
+    if out is not None:
+        out_b, out_p = out
+        assert out_b.shape == (total, nbytes) and out_b.dtype == np.uint8
+        assert out_p.shape == (total,) and out_p.dtype == np.int32
+        assert out_b.flags.c_contiguous and out_p.flags.c_contiguous
+    else:
+        out_b = np.empty((total, nbytes), np.uint8)
+        out_p = np.empty(total, np.int32)
     _lib.acpu_rle_expand(
         rows.ctypes.data_as(ctypes.c_void_p), count, nbytes, total,
         out_b.ctypes.data_as(ctypes.c_void_p),
@@ -68,14 +79,21 @@ class CpuAnchorer:
             len(keys), self.nwords)
 
     def anchor(self, codes: np.ndarray, k: int, nbytes: int,
-               threads: int | None = None):
-        """codes u8 [L] -> (bytes u8 [P, nbytes], popc i32 [P])."""
+               threads: int | None = None, out=None):
+        """codes u8 [L] -> (bytes u8 [P, nbytes], popc i32 [P]).
+        `out=(out_b, out_p)` reuses caller buffers (see rle_expand_native)."""
         codes = np.ascontiguousarray(codes, np.uint8)
         P = len(codes) - k + 1
         if P <= 0:
             return (np.zeros((0, nbytes), np.uint8), np.zeros(0, np.int32))
-        out_b = np.empty((P, nbytes), np.uint8)
-        out_p = np.empty(P, np.int32)
+        if out is not None:
+            out_b, out_p = out
+            assert out_b.shape == (P, nbytes) and out_b.dtype == np.uint8
+            assert out_p.shape == (P,) and out_p.dtype == np.int32
+            assert out_b.flags.c_contiguous and out_p.flags.c_contiguous
+        else:
+            out_b = np.empty((P, nbytes), np.uint8)
+            out_p = np.empty(P, np.int32)
         _lib.acpu_anchor(
             self._h, codes.ctypes.data_as(ctypes.c_void_p), len(codes), k,
             nbytes, out_b.ctypes.data_as(ctypes.c_void_p),

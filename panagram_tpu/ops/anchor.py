@@ -213,13 +213,16 @@ _POPC8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
 
 
 def unpack_rle2(data_rows: np.ndarray, count: int, total: int,
-                nbytes: int):
+                nbytes: int, out=None):
     """Host-side decode of RLE data rows ([pos u24 LE | mask bytes],
     header already stripped): returns (bytes [total, nbytes],
     popc i32 [total]).  popc is recomputed from the mask bytes — cheaper
-    to rebuild per RUN here than to ship per run over the link."""
+    to rebuild per RUN here than to ship per run over the link.
+
+    `out=(out_b, out_p)` reuses caller buffers (see rle_expand_native:
+    fresh multi-MB allocations stall on page faults on this sandbox)."""
     if _rle_expand_native is not None and count > 0:
-        return _rle_expand_native(data_rows, count, total, nbytes)
+        return _rle_expand_native(data_rows, count, total, nbytes, out=out)
     rowsc = data_rows[:count]
     pos = _rle_pos(rowsc)
     by = rowsc[:, 3:]
