@@ -51,7 +51,7 @@ def main():
         pack_bases_combined,
         collect_rle2,
         dispatch_rle_prefix,
-        prefix_rows_for,
+        rle_row_bytes,
         unpack_rle2,
     )
     from panagram_tpu.ops.codec import pack_bases_np
@@ -128,14 +128,16 @@ def main():
         # reused vs 1.3 s fresh); fill() commits the pages once
         out_b = np.empty((chunk, nbytes), np.uint8)
         out_p = np.empty(chunk, np.int32)
+        rle_buf = np.empty((capacity + 2, rle_row_bytes(nbytes)), np.uint8)
         out_b.fill(0)
         out_p.fill(0)
+        rle_buf.fill(0)
 
         def drain():
             t0 = time.perf_counter()
             m, L, combined, prefix = pending.pop(0)
             P = L - k + 1
-            data_rows, count = collect_rle2(prefix, combined)
+            data_rows, count = collect_rle2(prefix, combined, out=rle_buf)
             t1 = time.perf_counter()
             assert data_rows is not None, "rle capacity overflow in bench"
             state["hint"] = count
@@ -144,7 +146,7 @@ def main():
             by = by[:m]
             popc = popc[:m]
             if trace:
-                _log(f"  drain: count={count} prefix_rows={prefix.shape[0]} "
+                _log(f"  drain: count={count} pieces={len(prefix)} "
                      f"collect={1e3*(t1-t0):.0f}ms "
                      f"decode={1e3*(time.perf_counter()-t1):.0f}ms")
             state["total"] += m
@@ -160,8 +162,7 @@ def main():
                 ib, t1, L, k, bd.nbits, bd.cap,
                 bd.nwords, nbytes, capacity,
             )
-            prefix = dispatch_rle_prefix(
-                combined, prefix_rows_for(state["hint"], capacity))
+            prefix = dispatch_rle_prefix(combined, state["hint"])
             pending.append((m, L, combined, prefix))
             if trace:
                 _log(f"  dispatch: {1e3*(time.perf_counter()-t0):.0f}ms")

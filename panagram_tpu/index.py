@@ -697,8 +697,8 @@ class Genome:
             collect_rle2,
             dispatch_rle_prefix,
             pack_bases_combined,
-            prefix_rows_for,
             rle2_colsums,
+            rle_row_bytes,
             unpack_rle2,
         )
 
@@ -721,16 +721,18 @@ class Genome:
         # yielded chunk before the generator drains the next.
         out_b = np.empty((chunk, nbytes), np.uint8)
         out_p = np.empty(chunk, np.int32)
+        rle_buf = np.empty((capacity + 2, rle_row_bytes(nbytes)), np.uint8)
         out_b.fill(0)
         out_p.fill(0)
+        rle_buf.fill(0)
 
         def _drain():
             nonlocal hint
             start, m, L, inbuf, combined, prefix = pending.pop(0)
             P = L - k + 1
-            # ONE prefix transfer resolves the run count (row-0 header)
-            # and, typically, every data row
-            data_rows, count = collect_rle2(prefix, combined)
+            # the dispatched async pieces resolve the run count (row-0
+            # header) and, typically, every data row
+            data_rows, count = collect_rle2(prefix, combined, out=rle_buf)
             if data_rows is None:       # RLE overflow: dense fallback
                 by_d, popc_d, colsums_d = anchor_chunk_fast(
                     jnp.asarray(inbuf[: (L + 3) // 4]),
@@ -759,8 +761,7 @@ class Genome:
                 jnp.asarray(inbuf), t1, L, k, bd.nbits,
                 bd.cap, bd.nwords, nbytes, capacity,
             )
-            prefix = dispatch_rle_prefix(
-                combined, prefix_rows_for(hint, capacity))
+            prefix = dispatch_rle_prefix(combined, hint)
             pending.append((start, m, L, inbuf, combined, prefix))
             if len(pending) >= PIPELINE_DEPTH:
                 yield _drain()

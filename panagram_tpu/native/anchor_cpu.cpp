@@ -134,36 +134,34 @@ void acpu_anchor(void* hd, const uint8_t* codes, int64_t L, int k,
 }
 
 // RLE expand — host-side decode of the device's run-length-compacted
-// anchor output (ops/anchor.anchor_chunk_rle2 data rows: [pos u24 LE |
-// mask bytes]).  Per-position popcounts are recomputed here from the mask
-// bytes (once per RUN) rather than shipped over the narrow d2h link.
-//
-// rows u8 [count * (3 + nbytes)], positions strictly increasing from 0;
-// outputs for all `total` positions.
+// anchor output (ops/anchor.anchor_chunk_rle2 protocol v3 data rows:
+// [delta u8 | mask bytes], row width max(1 + nbytes, 4); delta is the
+// position gap to the previous row, cumsum reconstructs absolute
+// positions; runs > 255 arrive as same-mask continuation rows).
+// Per-position popcounts are recomputed here from the mask bytes (once
+// per ROW) rather than shipped over the narrow d2h link.
 void acpu_rle_expand(const uint8_t* rows, int64_t count, int nbytes,
                      int64_t total, uint8_t* out_bytes, int32_t* out_popc) {
-  const int rowbytes = 3 + nbytes;
+  const int rowbytes = (1 + nbytes) < 4 ? 4 : (1 + nbytes);
+  int64_t pos = 0;
   for (int64_t i = 0; i < count; i++) {
     const uint8_t* r = rows + i * rowbytes;
-    int64_t pos = r[0] | (r[1] << 8) | ((int64_t)r[2] << 16);
+    pos += r[0];
     int64_t end = total;
-    if (i + 1 < count) {
-      const uint8_t* rn = r + rowbytes;
-      end = rn[0] | (rn[1] << 8) | ((int64_t)rn[2] << 16);
-    }
+    if (i + 1 < count) end = pos + r[rowbytes];  // next row's delta
     if (end > total) end = total;
     int32_t popc = 0;
     for (int b = 0; b < nbytes; b++)
-      popc += __builtin_popcount((unsigned)r[3 + b]);
+      popc += __builtin_popcount((unsigned)r[1 + b]);
     int64_t p = pos;
     if (nbytes == 4) {  // the <=32-genome fast path: one u32 store/position
       uint32_t v;
-      std::memcpy(&v, r + 3, 4);
+      std::memcpy(&v, r + 1, 4);
       uint32_t* ob = reinterpret_cast<uint32_t*>(out_bytes) + p;
       for (int64_t n = end - p; n > 0; n--) *ob++ = v;
     } else {
       for (int64_t q = p; q < end; q++)
-        std::memcpy(out_bytes + q * nbytes, r + 3, nbytes);
+        std::memcpy(out_bytes + q * nbytes, r + 1, nbytes);
     }
     for (int64_t q = p; q < end; q++) out_popc[q] = popc;
   }

@@ -125,29 +125,52 @@ def anchor_chunk_fast(packed: jax.Array, nmask: jax.Array,
     return by, popc, colsums
 
 
+def rle_row_bytes(nbytes: int) -> int:
+    """v3 data-row width: [delta u8 | mask bytes], floored at 4 so the
+    count header (u32 LE in row 0) always fits."""
+    return max(1 + nbytes, 4)
+
+
 def rle_payload(rows: jax.Array, nbytes: int, capacity: int):
-    """Shared RLE compaction: mask rows u32 [P, W] -> (out u8
-    [capacity + 1, 3 + nbytes], count i32).  Output row i < count is
-    [pos u24 LE | mask bytes] — popcounts and per-genome totals are
-    host-derived from the mask bytes (unpack_rle2 / rle2_colsums), so the
-    device ships only what cannot be recomputed.  Rows past `capacity`
-    are dropped into the final trash row; `count` always reports the true
-    run count so the caller can detect overflow.  P must be < 2^24 (the
-    3-byte position); the streaming chunk sizes are far below that."""
+    """Shared RLE compaction (protocol v3): mask rows u32 [P, W] ->
+    (out u8 [capacity + 1, rle_row_bytes(nbytes)], count i32).
+
+    Output row i < count is [delta u8 | mask bytes]: delta is the
+    position gap to the PREVIOUS data row (row 0 sits at position 0 with
+    delta 0), so host decode is a u8 cumsum — 2 fewer bytes per row than
+    an absolute u24 position, and d2h volume is the steady-state wall on
+    this rig.  Runs longer than 255 positions carry injected continuation
+    rows (same mask, delta 255) so every gap fits u8; the worst case adds
+    P/255 rows.  Popcounts and per-genome totals are host-derived from
+    the mask bytes (unpack_rle2 / rle2_colsums), so the device ships only
+    what cannot be recomputed.  Rows past `capacity` are dropped into the
+    final trash row; `count` always reports the true (v3) row count so
+    the caller can detect overflow."""
     P = rows.shape[0]
     by = masks_to_bytes(rows)[:, :nbytes]
-    change = jnp.concatenate([
+    change0 = jnp.concatenate([
         jnp.ones(1, bool), jnp.any(rows[1:] != rows[:-1], axis=1)
     ])
+    iota = jnp.arange(P, dtype=jnp.int32)
+    # distance from the last REAL change; continuation rows at every
+    # multiple of 255 keep all v3 gaps <= 255
+    last0 = jax.lax.cummax(jnp.where(change0, iota, -1))
+    dist = iota - last0
+    change = change0 | ((dist > 0) & (dist % 255 == 0))
     pos = jnp.cumsum(change.astype(jnp.int32)) - 1
     count = pos[-1] + 1
     slots = jnp.where(change & (pos < capacity), pos, capacity)
 
-    iota = jnp.arange(P, dtype=jnp.uint32)
-    shifts = np.array([0, 8, 16], np.uint32)
-    pos_bytes = ((iota[:, None] >> shifts[None, :]) & 0xFF).astype(jnp.uint8)
-    payload = jnp.concatenate([pos_bytes, by], axis=1)
-    out = jnp.zeros((capacity + 1, 3 + nbytes), jnp.uint8).at[slots].set(
+    lastv3 = jax.lax.cummax(jnp.where(change, iota, -1))
+    prev = jnp.concatenate([jnp.zeros(1, jnp.int32), lastv3[:-1]])
+    delta = jnp.where(iota == 0, 0, iota - prev).astype(jnp.uint8)
+
+    rowb = rle_row_bytes(nbytes)
+    parts = [delta[:, None], by]
+    if rowb > 1 + nbytes:
+        parts.append(jnp.zeros((P, rowb - 1 - nbytes), jnp.uint8))
+    payload = jnp.concatenate(parts, axis=1)
+    out = jnp.zeros((capacity + 1, rowb), jnp.uint8).at[slots].set(
         payload, mode="drop")
     return out, count
 
@@ -159,9 +182,9 @@ def anchor_chunk_rle2(inbuf: jax.Array, table: jax.Array,
     """Transfer-optimal fast path: ONE u8 input buffer (packed bases ++
     N-mask, from pack_bases_combined) and ONE u8 output buffer per chunk.
 
-    Returns combined u8 [capacity + 2, 3 + nbytes]:
+    Returns combined u8 [capacity + 2, rle_row_bytes(nbytes)]:
       row 0        header — bytes 0:4 hold the true run count (u32 LE)
-      rows 1..cnt  RLE data rows [pos u24 LE | mask bytes]
+      rows 1..cnt  RLE v3 data rows [delta u8 | mask bytes]
     Folding the count into the buffer means the host learns count AND
     receives the typical-case payload in a SINGLE speculative prefix
     transfer (collect_rle2) — on high-latency links (this rig: 50-90 ms
@@ -182,7 +205,7 @@ def anchor_chunk_rle2(inbuf: jax.Array, table: jax.Array,
 
     cnt32 = count.astype(jnp.uint32)
     cshift = np.array([0, 8, 16, 24], np.uint32)
-    header = jnp.zeros((1, 3 + nbytes), jnp.uint8).at[0, :4].set(
+    header = jnp.zeros((1, rle_row_bytes(nbytes)), jnp.uint8).at[0, :4].set(
         ((cnt32 >> cshift) & 0xFF).astype(jnp.uint8))
     return jnp.concatenate([header, body], axis=0)
 
@@ -203,9 +226,9 @@ except OSError:  # pragma: no cover - library not built
 
 
 def _rle_pos(rowsc: np.ndarray) -> np.ndarray:
-    """3-byte little-endian positions of RLE data rows -> int64 [count]."""
-    r = rowsc.astype(np.int64)
-    return r[:, 0] | (r[:, 1] << 8) | (r[:, 2] << 16)
+    """v3 delta column -> absolute positions, int64 [count] (row 0 has
+    delta 0 == position 0, so a plain cumsum reconstructs)."""
+    return np.cumsum(rowsc[:, 0].astype(np.int64))
 
 
 _POPC8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
@@ -225,7 +248,7 @@ def unpack_rle2(data_rows: np.ndarray, count: int, total: int,
         return _rle_expand_native(data_rows, count, total, nbytes, out=out)
     rowsc = data_rows[:count]
     pos = _rle_pos(rowsc)
-    by = rowsc[:, 3:]
+    by = rowsc[:, 1 : 1 + nbytes]
     popc = _POPC8[by].sum(axis=1, dtype=np.int32)
     reps = np.diff(pos, append=total)
     return np.repeat(by, reps, axis=0), np.repeat(popc, reps)
@@ -237,56 +260,24 @@ def rle2_colsums(data_rows: np.ndarray, count: int, total: int,
     host-side replacement for the device column-sum reductions (the
     paircount_sums of reference index.py:1051).  `total` must be the REAL
     position count (padding rows are zero anyway)."""
+    nbytes = (ngenomes + 7) // 8
     rowsc = data_rows[:count]
     reps = np.diff(_rle_pos(rowsc), append=total).clip(min=0)
-    bits = np.unpackbits(rowsc[:, 3:], axis=1, bitorder="little")[:, :ngenomes]
+    bits = np.unpackbits(rowsc[:, 1 : 1 + nbytes], axis=1,
+                         bitorder="little")[:, :ngenomes]
     return (bits.astype(np.int64) * reps[:, None]).sum(axis=0)
 
 
-RLE_PREFIX = 1 << 17   # rows (incl. header) speculatively transferred
-_PIECE = 1 << 17       # rows per overflow fetch (one cached program)
+_PIECE = 1 << 16       # rows per transfer piece (one cached slice program)
 PIPELINE_DEPTH = 4     # chunks dispatched ahead of the drain point
 _piece_fns: dict = {}
 
 
-def prefix_rows_for(hint: int | None, capacity: int) -> int:
-    """Speculative prefix size (rows incl. header) for an expected run
-    count, pow2-quantized so the number of distinct slice programs stays
-    logarithmic (remote compiles are 30-500 s on this rig).  A 1.5x margin
-    over the hint absorbs count drift between chunks; None (no observed
-    count yet — the first PIPELINE_DEPTH dispatches) transfers the FULL
-    buffer: the copy is async and overlaps later compute, whereas an
-    undersized prefix costs a synchronous piece-fetch round trip per miss
-    (~0.5 s each on this link — measured to dominate cold-start chunks)."""
-    if hint is None:
-        return capacity + 2
-    target = min(hint + (hint >> 1) + 2, capacity + 2)
-    rows = RLE_PREFIX
-    while rows < target:
-        rows *= 2
-    return rows
-
-
-def dispatch_rle_prefix(combined: jax.Array, rows: int | None = None):
-    """Queue a prefix slice of the RLE buffer immediately after the kernel
-    dispatch AND start its device->host copy.  Row 0 is the count header,
-    so ONE transfer of this prefix gives the host the count and (when
-    `rows` covers the run count) every data row — no synchronous round
-    trip in the drain loop: by the time collect_rle2 reads it, the copy
-    has been overlapping with later chunks' device compute."""
-    n = min(rows or RLE_PREFIX, combined.shape[0])
-    pre = combined[:n]
-    try:
-        pre.copy_to_host_async()
-    except Exception:  # pragma: no cover - backend without async copies
-        pass
-    return pre
-
-
-def _fetch_piece(combined: jax.Array, start: int) -> np.ndarray:
-    """Transfer rows [start, start + piece) via ONE cached dynamic-slice
-    program (a static slice per observed count would recompile; on
-    remote-compile rigs each program costs 30-500 s)."""
+def _piece_dev(combined: jax.Array, start: int):
+    """Device dynamic-slice of one fixed-size piece, via ONE cached
+    program per buffer shape (a static slice per observed count would
+    recompile; remote compiles cost 30-500 s on this rig).  Returns
+    (device array [piece, rowb], piece)."""
     import jax as _jax
 
     rows, rowb = combined.shape
@@ -299,38 +290,81 @@ def _fetch_piece(combined: jax.Array, start: int) -> np.ndarray:
                                          (piece, rowb))
         fn = _jax.jit(_slice)
         _piece_fns[key] = fn
-    return np.asarray(fn(combined, jnp.int32(start)))
+    return fn(combined, jnp.int32(start)), piece
 
 
-def collect_rle2(prefix: jax.Array, combined: jax.Array):
-    """Host-side collection of an anchor_chunk_rle2 result.
+def dispatch_rle_prefix(combined: jax.Array, hint: int | None = None):
+    """Start the device->host copies for an anchor_chunk_rle2 result
+    immediately after the kernel dispatch: fixed-size dynamic-slice pieces
+    (exact-size to ~12% over the expected run count — pow2 prefix slices
+    measured 62% over-transfer at observed counts, and the d2h link is the
+    steady-state wall) are queued with copy_to_host_async, so they overlap
+    later chunks' compute/host work (async pieces pipeline at full link
+    rate; tools/measure_link.py).  Piece 0 carries the count header.
+    hint=None (no observed count yet) covers the WHOLE buffer — an
+    undersized read costs a synchronous piece round trip at drain time.
+    Returns the piece list for collect_rle2."""
+    total = combined.shape[0]
+    if hint is None:
+        target = total
+    else:
+        target = min(hint + (hint >> 3) + 2, total)
+    pieces = []
+    s = 0
+    while s < target:
+        piece_len = min(_PIECE, total)
+        sa = min(s, total - piece_len)
+        arr, piece_len = _piece_dev(combined, sa)
+        try:
+            arr.copy_to_host_async()
+        except Exception:  # pragma: no cover - backend without async copies
+            pass
+        pieces.append((sa, arr))
+        s = sa + piece_len
+    return pieces
+
+
+def collect_rle2(pieces, combined: jax.Array, out: np.ndarray | None = None):
+    """Host-side collection of an anchor_chunk_rle2 result from its
+    dispatched piece list.
 
     Returns (data_rows u8 [count, 3 + nbytes] | None, count): None when
     count overflowed the device capacity (the caller re-runs the chunk
-    through anchor_chunk_fast).  The speculative prefix usually satisfies
-    the whole read; larger counts stream the remainder in fixed-size
-    dynamic-slice pieces (every piece reuses one compiled program)."""
-    ph = np.asarray(prefix)
-    count = int(ph[0, :4].copy().view("<u4")[0])
-    capacity = combined.shape[0] - 2
+    through anchor_chunk_fast).  The speculative pieces usually satisfy
+    the whole read; a larger count fetches the remainder synchronously
+    through the same cached slice program.  `out` (u8 [>= count + 1,
+    rowb]) reuses a caller buffer for the assembly — fresh multi-MB
+    allocations stall on sandbox page faults (see rle_expand_native)."""
+    total_rows, rowb = combined.shape
+    first = np.asarray(pieces[0][1])
+    count = int(first[0, :4].copy().view("<u4")[0])
+    capacity = total_rows - 2
     if count > capacity:
         return None, count
     need = count + 1                      # rows including the header
-    if need <= ph.shape[0]:
-        return ph[1:need], count
+    if need <= first.shape[0]:
+        return first[1:need], count
 
-    total_rows, rowb = combined.shape
-    piece = min(_PIECE, total_rows)
-    out = np.empty((need, rowb), np.uint8)
-    out[: ph.shape[0]] = ph
-    s = ph.shape[0]
-    while s < need:
-        sa = min(s, total_rows - piece)   # dynamic_slice clamps the same way
-        part = _fetch_piece(combined, sa)
-        hi = min(sa + piece, need)
-        out[s:hi] = part[s - sa: hi - sa]
-        s = hi
-    return out[1:], count
+    buf = out if out is not None else np.empty((need, rowb), np.uint8)
+    assert buf.shape[0] >= need and buf.shape[1] == rowb
+    covered = 0
+    for sa, arr in pieces:
+        if covered >= need:
+            break
+        a = np.asarray(arr)
+        hi = min(sa + a.shape[0], need)
+        if hi > covered:
+            buf[covered:hi] = a[covered - sa: hi - sa]
+            covered = hi
+    while covered < need:                 # speculative read fell short
+        piece_len = min(_PIECE, total_rows)
+        sa = min(covered, total_rows - piece_len)
+        arr, piece_len = _piece_dev(combined, sa)
+        part = np.asarray(arr)
+        hi = min(sa + piece_len, need)
+        buf[covered:hi] = part[covered - sa: hi - sa]
+        covered = hi
+    return buf[1:need], count
 
 
 @partial(jax.jit, static_argnums=(3,))

@@ -373,8 +373,9 @@ def sharded_anchor_chunk(mesh, sbd: ShardedBucketedDict,
 
     codes_sharded u8 [S, C + k - 1]: per-device halo'd slices (device d
     covers chunk-local positions [d*C, (d+1)*C)).  Returns
-    (combined u8 [S, capacity, 3 + nbytes], counts i64 [S]) — per-device
-    RLE buffers; decode with ops.anchor.unpack_rle2 per shard.
+    (combined u8 [S, capacity, rle_row_bytes(nbytes)], counts i64 [S]) —
+    per-device RLE v3 buffers; decode with ops.anchor.unpack_rle2 per
+    shard.
     """
     n = mesh.devices.size
     body = partial(

@@ -250,16 +250,27 @@ def test_collect_rle2_piecewise(rng):
     want_count = int(full[0, :4].copy().view("<u4")[0])
     want_rows = full[1 : 1 + want_count]
 
-    old_prefix, old_piece = A.RLE_PREFIX, A._PIECE
+    old_piece = A._PIECE
     try:
-        A.RLE_PREFIX, A._PIECE = 16, 32
+        A._PIECE = 32
         A._piece_fns.clear()
-        rows, count = A.collect_rle2(A.dispatch_rle_prefix(out), out)
+        # undersized speculative read (hint=0 -> 1 piece): the drain must
+        # stream the remainder through the cached slice program
+        rows, count = A.collect_rle2(A.dispatch_rle_prefix(out, 0), out)
+        assert count == want_count
+        assert np.array_equal(rows, want_rows)
+        # exact-size speculative read assembled from many async pieces
+        rows2, count2 = A.collect_rle2(
+            A.dispatch_rle_prefix(out, want_count), out)
+        assert count2 == want_count
+        assert np.array_equal(rows2, want_rows)
+        # caller-buffer reuse
+        buf = np.zeros((out.shape[0], out.shape[1]), np.uint8)
+        rows3, _ = A.collect_rle2(A.dispatch_rle_prefix(out, 0), out, out=buf)
+        assert np.array_equal(rows3, want_rows)
     finally:
-        A.RLE_PREFIX, A._PIECE = old_prefix, old_piece
+        A._PIECE = old_piece
         A._piece_fns.clear()
-    assert count == want_count
-    assert np.array_equal(rows, want_rows)
 
 
 def test_cpu_anchorer_matches_oracle():

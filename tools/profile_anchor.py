@@ -149,7 +149,7 @@ def main():
         def run():
             combined = A.anchor_chunk_rle2(
                 ib, t1, L, k, bd.nbits, bd.cap, bd.nwords, nbytes, capacity)
-            np.asarray(A.dispatch_rle_prefix(combined))
+            A.collect_rle2(A.dispatch_rle_prefix(combined), combined)
 
         dt = timed(name, run)
         print(f"  -> {P/dt/1e6:.1f} M kmers/s")
