@@ -684,10 +684,15 @@ class Genome:
             binlen = nkmers // self.index.conf.min_bin_count
         return max(int(binlen), 1)
 
-    def _device_chunk_results(self, codes, nkmers, chunk, buf, t1, bd):
+    def _device_chunk_results(self, codes, nkmers, chunk, buf, t1, bd,
+                              state=None):
         """Single-chip streamed chunk engine: dispatch every chunk's fused
         RLE kernel asynchronously, then drain in order.  Yields
-        (start, m, bitmap bytes [m, nbytes], popc i32 [m], colsums [N])."""
+        (start, m, bitmap bytes [m, nbytes], popc i32 [m], colsums [N]).
+
+        `state` (a dict) carries the observed run-count hint across
+        chromosomes so only the very first chunks of a genome pay the
+        full-buffer speculative transfer."""
         import jax.numpy as jnp
 
         from .ops.anchor import (
@@ -712,7 +717,9 @@ class Genome:
         # host decode of earlier ones, and each drained chunk's observed
         # run count sizes later chunks' speculative prefixes
         pending = []
-        hint = None
+        if state is None:
+            state = {}
+        hint = state.get("hint")
 
         # persistent decode buffers: a fresh ~17 MB allocation per chunk
         # intermittently stalls >1 s on sandbox page faults (measured;
@@ -744,7 +751,7 @@ class Genome:
                 popc_np = np.asarray(popc_d)[:m].astype(np.int32)
                 chunk_colsums = np.asarray(colsums_d)[:N]
             else:
-                hint = count
+                hint = state["hint"] = count
                 by, popc_np = unpack_rle2(data_rows, count, P, nbytes,
                                           out=(out_b[:P], out_p[:P]))
                 by = by[:m]
@@ -896,6 +903,7 @@ class Genome:
 
         chunk = ANCHOR_CHUNK
         buf = np.empty(chunk + k - 1, np.uint8)
+        chunk_state = {}   # run-count hint carried across chromosomes
 
         for chrom_i, (chrom, seq) in enumerate(self.iter_fasta()):
             codes = seq_to_codes(seq)
@@ -913,7 +921,7 @@ class Genome:
                     mesh, sharded, codes, nkmers, chunk)
             else:
                 results = self._device_chunk_results(
-                    codes, nkmers, chunk, buf, t1, bd)
+                    codes, nkmers, chunk, buf, t1, bd, state=chunk_state)
 
             for start, m, by, popc_np, chunk_colsums in results:
                 writers[1].write(by.tobytes())
