@@ -32,7 +32,15 @@ SPAN = 2048
 
 
 def pallas_enabled() -> bool:
-    return os.environ.get("PANAGRAM_TPU_PALLAS", "0") == "1"
+    """Merge-probe lookup gate.  Default ON for the TPU backend (measured
+    32.9 vs 30.9 M kmers/s end-to-end over the gather probe, consistent
+    across reps — ROUND2_NOTES.md); interpret mode is far slower than the
+    gather on CPU, so other backends default OFF.  PANAGRAM_TPU_PALLAS=1/0
+    forces either way."""
+    env = os.environ.get("PANAGRAM_TPU_PALLAS")
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() == "tpu"
 
 
 def _interpret() -> bool:
