@@ -407,3 +407,41 @@ def test_parallel_anchoring_matches_serial(tmp_path, rng):
         assert a == b
         assert ((tmp_path / "serial" / "anchor" / n / "bitsum.bins.tsv").read_text()
                 == (tmp_path / "threads" / "anchor" / n / "bitsum.bins.tsv").read_text())
+
+
+def test_device_chunk_rle_overflow_falls_back_dense(pan):
+    """When a chunk's RLE row count exceeds the device capacity (chunk//8),
+    the streaming drain must detect it via the count header and redo the
+    chunk through the dense anchor_chunk_fast path — byte-identical to the
+    oracle.  Forced here with a tiny chunk size (capacity 8 rows) over a
+    divergent region whose runs are shorter than 8 positions."""
+    from panagram_tpu.io.fasta import seq_to_codes
+    from panagram_tpu.ops.dictionary import PanKmerDict
+    from panagram_tpu.ops.lookup import BucketedDict
+
+    idx = pan["idx"]
+    g = idx.genomes[idx.anchor_genomes[0]]
+    pan_dict = PanKmerDict.load(idx.dict_fname)
+    bd = BucketedDict.build(pan_dict.keys, pan_dict.masks, g.ngenomes, K)
+    (t1,) = bd.device_arrays()
+
+    chrom, seq = next(iter(g.iter_fasta()))
+    codes = seq_to_codes(seq)
+    nkmers = len(codes) - K + 1
+    chunk = 64                                    # capacity 8 rows/chunk
+    buf = np.empty(chunk + K - 1, np.uint8)
+
+    parts_by, parts_popc = [], []
+    colsums = np.zeros(g.ngenomes, np.int64)
+    for start, m, by, popc_np, cs in g._device_chunk_results(
+            codes, nkmers, chunk, buf, t1, bd):
+        parts_by.append(np.array(by, copy=True))
+        parts_popc.append(np.array(popc_np, copy=True))
+        colsums += cs
+    rows = anchor_np(seq, K, pan["keys"], pan["masks"])
+    want_by = masks_to_bytes_np(rows, g.nbytes)
+    assert np.array_equal(np.concatenate(parts_by), want_by)
+    assert np.array_equal(np.concatenate(parts_popc), popcount_np(rows))
+    bits = np.unpackbits(rows.astype("<u4").view(np.uint8), axis=1,
+                         bitorder="little")[:, : g.ngenomes]
+    assert np.array_equal(colsums, bits.sum(axis=0))
