@@ -25,6 +25,7 @@ from __future__ import annotations
 import logging
 import os
 import threading
+import time
 from collections import defaultdict
 
 import numpy as np
@@ -904,9 +905,15 @@ class Genome:
         chunk = ANCHOR_CHUNK
         buf = np.empty(chunk + k - 1, np.uint8)
         chunk_state = {}   # run-count hint carried across chromosomes
+        # wall-time per phase, logged at the end — the kernel work for a
+        # 5 Mbp genome is sub-second, so anchor-stage wall is host-side;
+        # this shows where (drain = device wait + RLE decode + packing)
+        phase = {"encode": 0.0, "drain": 0.0, "write": 0.0, "bins": 0.0}
 
         for chrom_i, (chrom, seq) in enumerate(self.iter_fasta()):
+            t0 = time.perf_counter()
             codes = seq_to_codes(seq)
+            phase["encode"] += time.perf_counter() - t0
             nkmers = len(codes) - k + 1
             if nkmers <= 0:
                 logger.warning(f"Skipping short sequence {chrom}")
@@ -923,13 +930,24 @@ class Genome:
                 results = self._device_chunk_results(
                     codes, nkmers, chunk, buf, t1, bd, state=chunk_state)
 
-            for start, m, by, popc_np, chunk_colsums in results:
-                writers[1].write(by.tobytes())
+            it = iter(results)
+            while True:
+                t0 = time.perf_counter()
+                item = next(it, None)
+                phase["drain"] += time.perf_counter() - t0
+                if item is None:
+                    break
+                start, m, by, popc_np, chunk_colsums = item
+
+                t0 = time.perf_counter()
+                writers[1].write(by)      # buffer protocol: no copy
                 # global-phase lowres downsample (anchor.cpp:169-177)
                 first = (-start) % lowres
                 writers[lowres].write(by[first::lowres].tobytes())
+                phase["write"] += time.perf_counter() - t0
 
                 # per-bin occupancy histogram contribution
+                t0 = time.perf_counter()
                 bins = (start + np.arange(m)) // binlen
                 flat = np.bincount(
                     bins * (N + 1) + popc_np, minlength=nbins * (N + 1)
@@ -939,6 +957,7 @@ class Genome:
                 paircount_sums += chunk_colsums
                 if popc_full is not None:
                     popc_full[start : start + m] = popc_np
+                phase["bins"] += time.perf_counter() - t0
 
                 self.bitmap_lens[1] += m
 
@@ -999,11 +1018,15 @@ class Genome:
 
         self.write_chrs()
 
+        t0 = time.perf_counter()
         self.init_read()
         try:
             self.write_umaps()
         except Exception as e:  # embeddings are ancillary (reference degrades too)
             logger.warning(f"UMAP embedding failed: {e}")
+        phase["finish"] = time.perf_counter() - t0
+        logger.info("anchor phases: " + " ".join(
+            f"{name}={v:.1f}s" for name, v in phase.items()))
 
     def run_annotate(self, gff_file=None, logfile=None, nogene=False):
         """(Re-)annotate from an existing bitmap (reference index.py:971-1010)."""

@@ -98,6 +98,11 @@ class BgzfWriter:
         self._closed = False
 
     def write(self, data) -> int:
+        if not isinstance(data, (bytes, bytearray, memoryview)):
+            # C-contiguous buffer-protocol objects (e.g. uint8 ndarrays)
+            # append without an intermediate bytes copy; a bare ndarray
+            # would otherwise dispatch to numpy's broadcasting +=
+            data = memoryview(data)
         self._buf += data
         while len(self._buf) >= MAX_BLOCK_DATA:
             self._flush_block(bytes(self._buf[:MAX_BLOCK_DATA]))
