@@ -879,9 +879,13 @@ class Genome:
         if use_mesh:
             t1 = bd = None
         else:
-            bd = bucketed if bucketed is not None else BucketedDict.build(
-                pan_dict.keys, pan_dict.masks, N, k,
-                mixed=(getattr(pan_dict, "key_space", "canon") == "mixed"))
+            # device-side layout: ~3.4x fewer h2d bytes than uploading a
+            # host-built padded table (and device_arrays memoizes, so a
+            # shared `bucketed` uploads nothing per genome)
+            bd = bucketed if bucketed is not None else \
+                BucketedDict.build_device(
+                    pan_dict.keys, pan_dict.masks, N, k,
+                    mixed=(getattr(pan_dict, "key_space", "canon") == "mixed"))
             (t1,) = bd.device_arrays()
 
         if self.chrs is None:

@@ -131,7 +131,16 @@ class BucketedDict:
         return table, 0
 
     def device_arrays(self):
-        return (jnp.asarray(self.table),)
+        """Device handle of the bucket table, MEMOIZED: jnp.asarray of a
+        host table is an async h2d of the whole (3x-padded) table — at
+        512 MB over this rig's ~10-45 MB/s link a fresh upload per anchor
+        genome cost ~50-100 s, silently serialized into the first kernel
+        dispatch (measured via the run_anchor phase log)."""
+        dev = getattr(self, "_dev", None)
+        if dev is None:
+            dev = (jnp.asarray(self.table),)
+            object.__setattr__(self, "_dev", dev)
+        return dev
 
     @classmethod
     def build_device(cls, keys, masks, ngenomes: int, k: int,

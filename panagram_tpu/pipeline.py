@@ -306,10 +306,13 @@ def build_index(samples_or_dir: str, prefix=None, force=False,
         build_dict_stage(index, force=force)
     pan_dict = PanKmerDict.load(index.dict_fname)
 
-    # lay out the query-time bucketed dictionary ONCE for all anchors
+    # lay out the query-time bucketed dictionary ONCE for all anchors,
+    # ON DEVICE: uploading keys+masks and scattering there moves ~3.4x
+    # fewer bytes than uploading a host-built (3x-padded) table, and the
+    # table never leaves HBM
     from .ops.lookup import BucketedDict
 
-    bucketed = BucketedDict.build(
+    bucketed = BucketedDict.build_device(
         pan_dict.keys, pan_dict.masks, index.ngenomes, index.k,
         mixed=(pan_dict.key_space == "mixed"))
 
