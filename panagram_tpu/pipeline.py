@@ -165,15 +165,26 @@ def build_dict_device(index: Index, force=False) -> str:
     hint = int(max(sizes) * 1.5) if sizes else None
 
     b = DeviceDictBuilder(index.k, index.ngenomes, capacity_hint=hint)
+    phase = {"io": 0.0, "device": 0.0}
     for gid, name in enumerate(index.genome_names):
         g = index.genomes[name]
         if g.fasta is None:
             continue
         for _, seq in iter_fasta(g._fasta_path):
-            b.add_sequence(gid, seq_to_codes(seq))
+            tp = time.perf_counter()
+            codes = seq_to_codes(seq)
+            phase["io"] += time.perf_counter() - tp
+            tp = time.perf_counter()
+            b.add_sequence(gid, codes)
+            phase["device"] += time.perf_counter() - tp
         logger.info(f"device dict: merged {name} ({b.count} keys)")
+    tp = time.perf_counter()
     d = b.to_host()
     d.save(out)
+    save_s = time.perf_counter() - tp
+    logger.info(
+        f"dict phases: io={phase['io']:.1f}s device={phase['device']:.1f}s "
+        f"to_host+save={save_s:.1f}s")
     _benchmark(index.prefix, "dict", t0)
     logger.info(f"device dictionary: {len(d)} keys x {d.nwords} words")
     return out
