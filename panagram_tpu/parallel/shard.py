@@ -388,9 +388,11 @@ def sharded_anchor_chunk(mesh, sbd: ShardedBucketedDict,
         in_specs=(P(DICT_AXIS), P(DICT_AXIS)),
         out_specs=(P(DICT_AXIS), P(DICT_AXIS)),
     )
+    from ..ops.anchor import rle_row_bytes
+
     combined, counts = jax.jit(f)(codes_sharded, sbd.tables)
     C = codes_sharded.shape[1] - (sbd.k - 1)
-    return combined.reshape(n, capacity, 3 + sbd.nbytes_row), \
+    return combined.reshape(n, capacity, rle_row_bytes(sbd.nbytes_row)), \
         counts.reshape(n), C
 
 

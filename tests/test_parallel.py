@@ -203,3 +203,35 @@ def test_genome_sharded_dict_matches_oracle(setup):
     got = assemble_genome_shards(np.asarray(by_shards), nbytes)
     assert np.array_equal(got, masks_to_bytes_np(want, nbytes))
     assert np.array_equal(np.asarray(popc), popcount_np(want))
+
+
+def test_sharded_anchor_wide_masks_row_width():
+    """12 genomes -> nbytes=2, where the v3 data-row width (max(1+nbytes,4)
+    = 4) DIFFERS from the old 3+nbytes=5 — a hardcoded width anywhere in
+    the mesh path reshapes wrong (caught once in dryrun_multichip with 34
+    genomes; pinned here at the smallest differing config)."""
+    rng = np.random.default_rng(13)
+    ng = 12
+    seqs = [random_seq(rng, 900, n_frac=0.01) for _ in range(ng)]
+    sets = [genome_kmer_set([s], K) for s in seqs]
+    d = build_dictionary(sets, K)
+    mesh = make_mesh(8)
+    sbd, _ = sharded_build_dictionary(sets, mesh, ngenomes=ng, k=K,
+                                      return_host_dict=True)
+
+    seq = seqs[1]
+    codes = seq_to_codes(seq)
+    want_rows = anchor_np(seq, K, d.keys, d.masks)
+    want_bits = np.unpackbits(want_rows.astype("<u4").view(np.uint8),
+                              axis=1, bitorder="little")[:, :ng]
+
+    chunks, nk = make_halo_chunks(codes, 8, K, chunk_per_dev=128)
+    combined, counts, C = sharded_anchor_chunk(mesh, sbd, chunks,
+                                               capacity=128)
+    by, popc, colsums = _decode(combined, counts, C, sbd.nbytes_row, nk, ng)
+    want_by = np.packbits(
+        np.pad(want_bits, ((0, 0), (0, 8 * sbd.nbytes_row - ng))),
+        axis=1, bitorder="little")
+    assert np.array_equal(by, want_by)
+    assert np.array_equal(popc, popcount_np(want_rows))
+    assert np.array_equal(colsums, want_bits.sum(axis=0))

@@ -45,6 +45,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--chunk", type=int, default=22)
     ap.add_argument("--genomes", type=int, default=30)
+    ap.add_argument("--k", type=int, default=21)
     args = ap.parse_args()
 
     import panagram_tpu  # noqa: F401
@@ -58,7 +59,7 @@ def main():
                                          bucket_query_sorted)
     from panagram_tpu.ops.ref_impl import build_dict_np, canonical_kmers_np
 
-    k = 21
+    k = args.k
     n = args.genomes
     P = 1 << args.chunk
     rng = np.random.default_rng(0)
