@@ -128,19 +128,15 @@ def main():
 
     @jax.jit
     def stage_tail(c, t):
+        # the REAL production tail (an earlier synthetic 2D-sliced scatter
+        # here lowered pathologically — 15.7 s at nbits=22 — and did not
+        # represent anchor_chunk_rle2 at all)
         rows = qg(c, t)
-        popc = A.mask_popcount(rows)
-        by = A.masks_to_bytes(rows)[:, :nbytes]
-        change = jnp.concatenate([
-            jnp.ones(1, bool), jnp.any(rows[1:] != rows[:-1], axis=1)])
-        pos = jnp.cumsum(change.astype(jnp.int32)) - 1
-        slots = jnp.where(change & (pos < capacity), pos, capacity)
-        out = jnp.zeros((capacity + 1, 6 + nbytes), jnp.uint8).at[
-            slots, 6:].set(by, mode="drop")
-        return out.sum() + popc.sum()
+        out, count = A.rle_payload(rows, nbytes, capacity)
+        return out.sum() + count
 
-    t_tail = timed("tail (incl gather probe)",
-                   lambda: np.asarray(stage_tail(canon_dev, t1)))
+    timed("tail rle_payload (incl gather)",
+          lambda: np.asarray(stage_tail(canon_dev, t1)))
 
     for name, flag in [("full rle2 (gather)", "0"),
                        ("full rle2 (pallas)", "1")]:
