@@ -114,10 +114,9 @@ def anchor_chunk_fast(packed: jax.Array, nmask: jax.Array,
 
     Minimises host<->device traffic: input is 0.375 B/base, outputs are
     nbytes/position + tiny reductions (SURVEY §7.4.5)."""
-    from .codec import unpack_bases
+    from .codec import pack_kmers_packed
 
-    codes = unpack_bases(packed, nmask, L)
-    canon, _ = pack_kmers(codes, k)
+    canon, _ = pack_kmers_packed(packed, nmask, L, k)
     rows = _query(canon, table, nbits, cap, nwords)
     popc = mask_popcount(rows)
     by = masks_to_bytes(rows)[:, :nbytes]
@@ -193,13 +192,12 @@ def anchor_chunk_rle2(inbuf: jax.Array, table: jax.Array,
     rle2_colsums.  count > capacity signals overflow (rows were dropped);
     the caller falls back to anchor_chunk_fast.
     """
-    from .codec import unpack_bases
+    from .codec import pack_kmers_packed
 
     n4 = (L + 3) // 4
     packed = jax.lax.slice(inbuf, (0,), (n4,))
     nmask = jax.lax.slice(inbuf, (n4,), (inbuf.shape[0],))
-    codes = unpack_bases(packed, nmask, L)
-    canon, _ = pack_kmers(codes, k)
+    canon, _ = pack_kmers_packed(packed, nmask, L, k)
     rows = _query(canon, table, nbits, cap, nwords)
     body, count = rle_payload(rows, nbytes, capacity)
 

@@ -140,3 +140,26 @@ def test_pairwise_shared(rng):
         for j in range(5):
             want = len(np.intersect1d(sets[i], sets[j]))
             assert got[i, j] == want
+
+
+def test_pack_kmers_packed_matches_unpacked(rng):
+    """The packed-stream codec (windowed build + pair-reverse + the
+    ~W revcomp identity) must be bit-identical to pack_kmers for every k
+    parity, sub-byte phase, and N placement."""
+    import jax.numpy as jnp
+
+    from panagram_tpu.ops.codec import (pack_bases_np, pack_kmers,
+                                        pack_kmers_packed)
+
+    for k in (2, 5, 21, 31):
+        for L in (k, k + 3, 517, 2048):
+            codes = rng.integers(0, 4, L).astype(np.uint8)
+            if L > 10:
+                bad = rng.choice(L, L // 10, replace=False)
+                codes[bad] = 255
+            packed, nmask, L2 = pack_bases_np(codes)
+            c1, v1 = pack_kmers(jnp.asarray(codes), k)
+            c2, v2 = pack_kmers_packed(jnp.asarray(packed),
+                                       jnp.asarray(nmask), L2, k)
+            assert np.array_equal(np.asarray(v1), np.asarray(v2)), (k, L)
+            assert np.array_equal(np.asarray(c1), np.asarray(c2)), (k, L)

@@ -87,15 +87,16 @@ def main():
 
     n4 = (L + 3) // 4
 
+    from panagram_tpu.ops.codec import pack_kmers_packed
+
     @jax.jit
     def stage_unpack(buf):
         packed = jax.lax.slice(buf, (0,), (n4,))
         nmask = jax.lax.slice(buf, (n4,), (buf.shape[0],))
-        cod = unpack_bases(packed, nmask, L)
-        canon, _ = pack_kmers(cod, k)
+        canon, _ = pack_kmers_packed(packed, nmask, L, k)
         return canon.sum()
 
-    timed("unpack+pack_kmers", lambda: np.asarray(stage_unpack(ib)))
+    timed("pack_kmers_packed", lambda: np.asarray(stage_unpack(ib)))
 
     canon_np = canonical_kmers_np(codes, k)[0]
     canon_dev = jax.device_put(jnp.asarray(canon_np))
