@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .codec import SENTINEL, pack_kmers, unpack_bases
+from .codec import SENTINEL, pack_kmers_packed
 from .lookup import mix64
 
 
@@ -36,8 +36,7 @@ def _chunk_mixed_distinct(packed: jax.Array, nmask: jax.Array, Lk: tuple):
     """packed/nmask (pack_bases_np) -> sorted distinct mixed keys
     (SENTINEL-padded, static shape [L - k + 1])."""
     L, k = Lk
-    codes = unpack_bases(packed, nmask, L)
-    canon, _ = pack_kmers(codes, k)
+    canon, _ = pack_kmers_packed(packed, nmask, L, k)
     m = jnp.where(canon == SENTINEL, SENTINEL, mix64(canon))
     s = jnp.sort(m)
     dup = jnp.concatenate([jnp.zeros(1, bool), s[1:] == s[:-1]])
@@ -101,7 +100,9 @@ class DeviceDictBuilder:
         self.chunk = chunk
         self.keys = None   # device u64 [cap]
         self.masks = None  # device u32 [cap, W]
-        self.count = 0
+        self.count = 0          # last SYNCED key count (host int)
+        self._cnt_dev = None    # device scalar from the latest merge
+        self._pending = 0       # merges since the last sync
         if capacity_hint:
             # pre-size so the merge program compiles exactly once (capacity
             # growth would otherwise recompile per power-of-two step — very
@@ -137,13 +138,32 @@ class DeviceDictBuilder:
             packed, nmask, L = pack_bases_np(buf)
             new_keys = _chunk_mixed_distinct(
                 jnp.asarray(packed), jnp.asarray(nmask), (L, k))
-            # capacity must cover the worst case (all chunk keys new) so the
-            # truncated merge output is always complete
-            self._ensure_capacity(self.count + chunk)
+            # capacity must cover the worst case (all chunk keys new) so
+            # the truncated merge output is always complete.  The true
+            # count is a device scalar; syncing it per chunk stalls the
+            # stream (~link latency each), so capacity checks use the
+            # host-side UPPER BOUND count + pending*chunk and only sync
+            # when that bound would outgrow the capacity.
+            ub = self.count + (self._pending + 1) * chunk
+            if self.keys is None or self.keys.shape[0] < ub + chunk:
+                self._sync_count()
+                self._ensure_capacity(self.count + chunk)
             self.keys, self.masks, cnt = _merge_into(
                 self.keys, self.masks, new_keys, self.nwords,
                 jnp.int32(gid))
-            self.count = int(cnt)
+            self._cnt_dev = cnt
+            self._pending += 1
+
+    def _sync_count(self):
+        if self._cnt_dev is not None and self._pending:
+            self.count = int(self._cnt_dev)
+            self._pending = 0
+
+    def synced_count(self) -> int:
+        """The exact key count (one device round trip if merges are
+        pending) — for progress logs and final sizing."""
+        self._sync_count()
+        return self.count
 
     def add_genome(self, gid: int, code_arrays):
         for codes in code_arrays:
@@ -153,6 +173,7 @@ class DeviceDictBuilder:
         """Materialise (mixed-sorted keys, masks) on the host."""
         from .dictionary import PanKmerDict
 
+        self._sync_count()
         keys = np.asarray(self.keys)[: self.count]
         masks = np.asarray(self.masks)[: self.count]
         return PanKmerDict(keys, masks, self.ngenomes, self.k,
@@ -164,6 +185,7 @@ class DeviceDictBuilder:
         host copy of keys, masks, or the finished table."""
         from .lookup import BucketedDict
 
+        self._sync_count()
         return BucketedDict.build_device(self.keys, self.masks,
                                          self.ngenomes, self.k,
                                          mixed=True, count=self.count)
