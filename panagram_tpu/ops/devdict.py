@@ -43,6 +43,15 @@ def _chunk_mixed_distinct(packed: jax.Array, nmask: jax.Array, Lk: tuple):
     return jnp.sort(jnp.where(dup, SENTINEL, s))
 
 
+@jax.jit
+def _union_sorted(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Union of two sorted SENTINEL-padded distinct key arrays ->
+    sorted distinct [|a| + |b|], SENTINEL-padded."""
+    s = jnp.sort(jnp.concatenate([a, b]))
+    dup = jnp.concatenate([jnp.zeros(1, bool), s[1:] == s[:-1]])
+    return jnp.sort(jnp.where(dup, SENTINEL, s))
+
+
 @partial(jax.jit, static_argnums=(3,))
 def _merge_into(keys: jax.Array, masks: jax.Array, new_keys: jax.Array,
                 nwords: int, gid: jax.Array):
@@ -90,7 +99,16 @@ def _merge_into(keys: jax.Array, masks: jax.Array, new_keys: jax.Array,
 
 
 class DeviceDictBuilder:
-    """Incremental on-device dictionary construction over genome streams."""
+    """Incremental on-device dictionary construction over genome streams.
+
+    Chunks do NOT merge into the dictionary one by one (each merge sorts
+    the full capacity — O(chunks x capacity) for long genomes): up to
+    FLUSH_CHUNKS chunk key-sets are buffered per genome and tree-unioned
+    (pairwise sorted unions at pow2 sizes, a handful of compiled shapes)
+    before ONE capacity-sized merge — 8x fewer big sorts, and the only
+    host synchronisation is one count read per flush."""
+
+    FLUSH_CHUNKS = 8
 
     def __init__(self, k: int, ngenomes: int, chunk: int = 1 << 22,
                  capacity_hint: int | None = None):
@@ -103,6 +121,8 @@ class DeviceDictBuilder:
         self.count = 0          # last SYNCED key count (host int)
         self._cnt_dev = None    # device scalar from the latest merge
         self._pending = 0       # merges since the last sync
+        self._buf = []          # buffered chunk key-sets (one genome)
+        self._buf_gid = None
         if capacity_hint:
             # pre-size so the merge program compiles exactly once (capacity
             # growth would otherwise recompile per power-of-two step — very
@@ -129,6 +149,10 @@ class DeviceDictBuilder:
         n = len(codes) - k + 1
         if n <= 0:
             return
+        if self._buf_gid is not None and self._buf_gid != gid:
+            self._flush_buffer()
+        self._buf_gid = gid
+
         chunk = self.chunk
         buf = np.full(chunk + k - 1, 255, np.uint8)
         for start in range(0, n, chunk):
@@ -136,23 +160,37 @@ class DeviceDictBuilder:
             buf[:] = 255
             buf[: m + k - 1] = codes[start : start + m + k - 1]
             packed, nmask, L = pack_bases_np(buf)
-            new_keys = _chunk_mixed_distinct(
-                jnp.asarray(packed), jnp.asarray(nmask), (L, k))
-            # capacity must cover the worst case (all chunk keys new) so
-            # the truncated merge output is always complete.  The true
-            # count is a device scalar; syncing it per chunk stalls the
-            # stream (~link latency each), so capacity checks use the
-            # host-side UPPER BOUND count + pending*chunk and only sync
-            # when that bound would outgrow the capacity.
-            ub = self.count + (self._pending + 1) * chunk
-            if self.keys is None or self.keys.shape[0] < ub + chunk:
-                self._sync_count()
-                self._ensure_capacity(self.count + chunk)
-            self.keys, self.masks, cnt = _merge_into(
-                self.keys, self.masks, new_keys, self.nwords,
-                jnp.int32(gid))
-            self._cnt_dev = cnt
-            self._pending += 1
+            self._buf.append(_chunk_mixed_distinct(
+                jnp.asarray(packed), jnp.asarray(nmask), (L, k)))
+            if len(self._buf) >= self.FLUSH_CHUNKS:
+                self._flush_buffer()
+
+    def _flush_buffer(self):
+        """Tree-union the buffered chunk key-sets and merge once."""
+        if not self._buf:
+            self._buf_gid = None
+            return
+        parts = self._buf
+        self._buf = []
+        while len(parts) > 1:
+            nxt = []
+            for i in range(0, len(parts) - 1, 2):
+                nxt.append(_union_sorted(parts[i], parts[i + 1]))
+            if len(parts) % 2:
+                nxt.append(parts[-1])
+            parts = nxt
+        new_keys = parts[0]
+        gid = self._buf_gid
+        self._buf_gid = None
+        # capacity must cover the worst case (every buffered key new) so
+        # the truncated merge output is always complete; ONE count sync
+        # per flush
+        self._sync_count()
+        self._ensure_capacity(self.count + new_keys.shape[0])
+        self.keys, self.masks, cnt = _merge_into(
+            self.keys, self.masks, new_keys, self.nwords, jnp.int32(gid))
+        self._cnt_dev = cnt
+        self._pending += 1
 
     def _sync_count(self):
         if self._cnt_dev is not None and self._pending:
@@ -162,6 +200,7 @@ class DeviceDictBuilder:
     def synced_count(self) -> int:
         """The exact key count (one device round trip if merges are
         pending) — for progress logs and final sizing."""
+        self._flush_buffer()
         self._sync_count()
         return self.count
 
@@ -173,6 +212,7 @@ class DeviceDictBuilder:
         """Materialise (mixed-sorted keys, masks) on the host."""
         from .dictionary import PanKmerDict
 
+        self._flush_buffer()
         self._sync_count()
         keys = np.asarray(self.keys)[: self.count]
         masks = np.asarray(self.masks)[: self.count]
@@ -185,6 +225,7 @@ class DeviceDictBuilder:
         host copy of keys, masks, or the finished table."""
         from .lookup import BucketedDict
 
+        self._flush_buffer()
         self._sync_count()
         return BucketedDict.build_device(self.keys, self.masks,
                                          self.ngenomes, self.k,
