@@ -177,7 +177,10 @@ def build_dict_device(index: Index, force=False) -> str:
             tp = time.perf_counter()
             b.add_sequence(gid, codes)
             phase["device"] += time.perf_counter() - tp
-        logger.info(f"device dict: merged {name} ({b.synced_count()} keys)")
+        tp = time.perf_counter()
+        n_keys = b.synced_count()    # flushes the genome's buffered merge
+        phase["device"] += time.perf_counter() - tp
+        logger.info(f"device dict: merged {name} ({n_keys} keys)")
     tp = time.perf_counter()
     d = b.to_host()
     d.save(out)
