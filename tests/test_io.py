@@ -102,3 +102,29 @@ def test_tabix_roundtrip_and_large_coords(tmp_path):
     assert list(t.fetch("chr1", 599_999_000, 700_000_000))[0][3] == "distal"
     assert list(t.fetch("chr2", 0, 100))[0][3] == "c"
     t.close()
+
+
+def test_bgzf_writer_accepts_buffer_protocol(tmp_path):
+    """write() must take uint8 ndarrays (incl. 2-D bitmap chunks) through
+    the buffer protocol without a bytes copy — a bare ndarray must NOT
+    fall through to numpy broadcasting (regression: the zero-copy bitmap
+    write path)."""
+    import numpy as np
+
+    from panagram_tpu.io.bgzf import BgzfReader, BgzfWriter
+
+    rng = np.random.default_rng(9)
+    rows = rng.integers(0, 256, (70000, 4), dtype=np.uint8)
+    tail = rng.integers(0, 256, 333, dtype=np.uint8)
+    p = tmp_path / "buf.gz"
+    w = BgzfWriter(str(p))
+    w.write(rows)                    # 2-D ndarray, crosses a block boundary
+    w.write(memoryview(tail))
+    w.write(b"xyz")
+    w.close()
+    w.write_gzi(str(p) + ".gzi")
+
+    r = BgzfReader(str(p), gzi=str(p) + ".gzi")
+    want = rows.tobytes() + tail.tobytes() + b"xyz"
+    assert r.read_at(0, len(want)) == want
+    assert r.read_at(65534, 10) == want[65534:65544]
