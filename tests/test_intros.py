@@ -219,3 +219,52 @@ def test_intros_pipeline_3way(intro_example):
 
     m = pd.read_csv(metrics_files[0], sep="\t", index_col=0)
     assert m["Recall"].iloc[0] > 0.5
+
+
+def test_intros_pipeline_sweep(intro_example):
+    """--sweep: all 18 preset thresholds are applied as one broadcast axis
+    over the shared similarity frames (SURVEY P7), each threshold gets its
+    own raw/postprocessed/scored tree, and the sweep visualizer aggregates
+    a metrics table."""
+    import yaml
+
+    from panagram_tpu.intros.call import SWEEP_2WAY
+    from panagram_tpu.intros.runner import (parse_config,
+                                            run_introgression_pipeline)
+
+    tmp = intro_example["tmp"]
+    out_dir = tmp / "sweep2way"
+    cfg = {
+        "general": {
+            "output_dir": str(out_dir),
+            "index_dir": str(intro_example["idx_dir"]),
+            "tsv": str(intro_example["group_tsv"]),
+            "bin": 5000,
+            "ref": "Reference",
+            "threads": 2,
+        },
+        "calling": {
+            "run": True, "grp": ["OFFSPRING"], "cmp": ["REF"],
+            "thr": [0.8], "stp": 100, "gnm": None, "trm": 3,
+            "sft": "mean", "ssz": 2, "urf": True, "rmf": True,
+            "rmu": None, "ogrp": None, "edg": False, "vis": False,
+        },
+        "postprocessing": {"run": True, "act": ["fgap", "rmbn"],
+                           "min": 2, "gap": 1},
+        "scoring": {"run": True, "gdt": str(intro_example["sim_dir"]),
+                    "act": None, "min": 1, "gap": 1, "thr": 0.25,
+                    "cmp": ["WT"], "vis": True},
+    }
+    cfg_path = tmp / "sweep.yaml"
+    cfg_path.write_text(yaml.dump(cfg))
+
+    run_introgression_pipeline(parse_config(cfg_path), sweep=True)
+
+    for thr in SWEEP_2WAY:
+        thr_dir = out_dir / f"{out_dir.name}_{thr}"
+        assert (thr_dir / "raw").is_dir(), thr
+        assert sorted((thr_dir / "raw").glob("*.bed")), thr
+    metrics = out_dir / "sweep_metrics.tsv"
+    assert metrics.exists()
+    m = pd.read_csv(metrics, sep="\t")
+    assert len(m) >= len(SWEEP_2WAY)
