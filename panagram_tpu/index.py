@@ -225,9 +225,13 @@ class Index:
         self.bitsum_bins = stack(
             [g.bitsum_bins for _, g in loaded], ["genome", "chr", "start"]
         ).sort_index()
-        # per-chromosome rows keep their own (chr-only) index when stacked
-        self.bitsum_chrs = pd.concat([g.bitsum_chrs for _, g in loaded])
-        self.bitfreq_chrs = pd.concat([g.bitfreq_chrs for _, g in loaded])
+        # per-chromosome rows carry a (genome, chr) MultiIndex like the
+        # reference's keyed concat (index.py:314-326) — anchors share
+        # chromosome names, so chr-only indices would be ambiguous
+        self.bitsum_chrs = stack([g.bitsum_chrs for _, g in loaded],
+                                 ["genome", "chr"])
+        self.bitfreq_chrs = stack([g.bitfreq_chrs for _, g in loaded],
+                                  ["genome", "chr"])
 
         # one genome-wide occupancy histogram row per anchor
         totals = pd.DataFrame(
@@ -802,16 +806,12 @@ class Genome:
         out_b.fill(0)
         out_p.fill(0)
 
-        pending = []
-        for start in range(0, nkmers, chunk):
-            m = min(chunk, nkmers - start)
-            sub = codes[start : start + m + k - 1]
-            halo, _ = make_halo_chunks(sub, S, k, C_dev)
-            combined, counts, _ = sharded_anchor_chunk(
-                mesh, sharded, halo, capacity)
-            pending.append((start, m, halo, combined, counts))
+        from .ops.anchor import PIPELINE_DEPTH
 
-        for start, m, halo, combined, counts in pending:
+        pending = []
+
+        def _drain():
+            start, m, halo, combined, counts = pending.pop(0)
             cnts = np.asarray(counts)
             if np.any(cnts > capacity):
                 # RLE overflow on some device: redo the chunk with a
@@ -836,7 +836,22 @@ class Genome:
                 chunk_colsums += rle2_colsums(comb[d], cd, C_dev, N)
             by = np.concatenate(parts_by)
             popc_np = np.concatenate(parts_popc)
-            yield start, m, by, popc_np, chunk_colsums
+            return start, m, by, popc_np, chunk_colsums
+
+        # bounded dispatch-ahead (same PIPELINE_DEPTH as the single-device
+        # engine): an unbounded queue would hold every chunk's per-device
+        # RLE buffer in HBM at once on long chromosomes
+        for start in range(0, nkmers, chunk):
+            m = min(chunk, nkmers - start)
+            sub = codes[start : start + m + k - 1]
+            halo, _ = make_halo_chunks(sub, S, k, C_dev)
+            combined, counts, _ = sharded_anchor_chunk(
+                mesh, sharded, halo, capacity)
+            pending.append((start, m, halo, combined, counts))
+            if len(pending) >= PIPELINE_DEPTH:
+                yield _drain()
+        while pending:
+            yield _drain()
 
     def run_anchor(self, pan_dict=None, logfile=None, bucketed=None,
                    mesh=None, sharded=None):

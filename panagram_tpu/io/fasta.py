@@ -65,8 +65,18 @@ def write_fai(path, out_path=None):
                 offset = pos + len(raw)
                 first_line = True
                 short_seen = False
-            elif name is not None and line:
-                if first_line:
+            elif name is not None:
+                if not line:
+                    # a blank line's bytes still shift every later offset,
+                    # so any further sequence data makes the arithmetic
+                    # silently wrong — treat like a short line: legal only
+                    # at the very end of the record
+                    short_seen = True
+                elif first_line:
+                    if short_seen:
+                        raise ValueError(
+                            f"{path}: sequence '{name}' has a blank line "
+                            "before its data; cannot build a .fai index")
                     linebases = len(line)
                     linewidth = len(raw)
                     first_line = False

@@ -235,10 +235,11 @@ _POPC8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
 
 def unpack_rle2(data_rows: np.ndarray, count: int, total: int,
                 nbytes: int, out=None):
-    """Host-side decode of RLE data rows ([pos u24 LE | mask bytes],
-    header already stripped): returns (bytes [total, nbytes],
-    popc i32 [total]).  popc is recomputed from the mask bytes — cheaper
-    to rebuild per RUN here than to ship per run over the link.
+    """Host-side decode of RLE v3 data rows ([delta u8 | mask bytes],
+    width rle_row_bytes(nbytes), header already stripped): returns
+    (bytes [total, nbytes], popc i32 [total]).  popc is recomputed from
+    the mask bytes — cheaper to rebuild per ROW here than to ship per
+    run over the link.
 
     `out=(out_b, out_p)` reuses caller buffers (see rle_expand_native:
     fresh multi-MB allocations stall on page faults on this sandbox)."""

@@ -166,9 +166,11 @@ class DeviceDictBuilder:
                 self._flush_buffer()
 
     def _flush_buffer(self):
-        """Tree-union the buffered chunk key-sets and merge once."""
+        """Tree-union the buffered chunk key-sets and merge once.  The
+        buffered gid is NOT cleared here: a long sequence flushes
+        mid-stream and keeps buffering chunks of the same genome
+        (add_sequence resets it on a genome switch)."""
         if not self._buf:
-            self._buf_gid = None
             return
         parts = self._buf
         self._buf = []
@@ -181,7 +183,6 @@ class DeviceDictBuilder:
             parts = nxt
         new_keys = parts[0]
         gid = self._buf_gid
-        self._buf_gid = None
         # capacity must cover the worst case (every buffered key new) so
         # the truncated merge output is always complete; ONE count sync
         # per flush

@@ -336,10 +336,11 @@ def _anchor_body(codes, table_l, *, k, n_shards, nbits, cap, stride,
 
     codes u8 [C + k - 1]: this device's halo'd chromosome slice (padding
     code 255 -> SENTINEL keys -> zero masks).  The device RLE-compacts its
-    own slice: output row i < count is [local_pos u24 LE | mask bytes],
-    the data-row layout of ops/anchor.anchor_chunk_rle2 — the host
-    reconstructs per shard and concatenates (anchor.cpp:167-177's streamed
-    writes, without ever materialising full rows globally)."""
+    own slice: output row i < count is a v3 data row
+    [local delta u8 | mask bytes] (rle_payload's layout, shared with
+    anchor_chunk_rle2) — the host reconstructs per shard and concatenates
+    (anchor.cpp:167-177's streamed writes, without ever materialising
+    full rows globally)."""
     codes = codes.reshape(-1)
     table_l = table_l.reshape(table_l.shape[-2], table_l.shape[-1])
     canon, _ = pack_kmers(codes, k)
@@ -443,14 +444,9 @@ def shard_dictionary_genomes(pan_dict: PanKmerDict,
 
         m = mix64_np(keys)
 
-    slot_w = 2 + Wl
-    stride = 64
-    while stride // slot_w < 3 * BucketedDict.MEAN_LOAD:
-        stride += 64
-    cap = stride // slot_w
-
-    nbits = max(int(np.ceil(np.log2(
-        max(D / BucketedDict.MEAN_LOAD, 1)))), 2)
+    # every shard holds ALL keys (only mask words are split), so the
+    # geometry is the single-table one: _layout_params over D keys
+    nbits, cap, stride = _layout_params(D, 1, Wl)
     for _ in range(8):
         shard_tables = []
         overflow = 0
@@ -482,22 +478,17 @@ def _genome_anchor_body(codes, table_l, *, k, nbits, cap, nwords_local):
     bytes stay sharded along the genome axis — the host concatenates byte
     slices exactly like the reference concatenates per-KMC-DB slices
     (reference index.py:936-947)."""
+    from ..ops.lookup import bucket_query
+
     codes = codes.reshape(-1)
     table_l = table_l.reshape(table_l.shape[-2], table_l.shape[-1])
     canon, _ = pack_kmers(codes, k)
     m = jnp.where(canon == SENTINEL, SENTINEL, mix64(canon))
 
-    # top-bits bucket (standard BucketedDict layout), one wide gather
-    qhi = (m >> U64(32)).astype(jnp.uint32)
-    qlo = (m & U64(0xFFFFFFFF)).astype(jnp.uint32)
-    bucket = (m >> U64(64 - nbits)).astype(jnp.int32)
-    rows = jnp.take(table_l, bucket, axis=0)
-    slot_w = 2 + nwords_local
-    view = rows[:, : cap * slot_w].reshape(rows.shape[0], cap, slot_w)
-    hit = (view[:, :, 0] == qhi[:, None]) & (view[:, :, 1] == qlo[:, None])
-    hit = hit & (m != U64(0xFFFFFFFFFFFFFFFF))[:, None]
-    sel = jnp.where(hit[:, :, None], view[:, :, 2:], jnp.uint32(0))
-    rows_l = sel.sum(axis=1, dtype=jnp.uint32)         # [C, Wl]
+    # standard top-bits single-probe layout: the shard-local table is a
+    # plain BucketedDict table over its mask-word slice
+    rows_l = bucket_query(m, table_l, nbits, cap, nwords_local,
+                          pre_mixed=True)               # [C, Wl]
 
     popc_l = jnp.sum(jax.lax.population_count(rows_l).astype(jnp.int32),
                      axis=-1, dtype=jnp.int32)

@@ -413,19 +413,27 @@ async function geneTable(){
     +'&end='+en+(q?'&q='+encodeURIComponent(q):''));
   const genes=await r.json();
   const div=$('genetable');
-  if(!genes.length){div.innerHTML='<i style="font-size:12px">no genes'
-    +' in view</i>';return;}
-  let html='<table class="genes"><tr><th>name</th><th>start</th>'
-    +'<th>end</th><th>unique</th><th>universal</th></tr>';
-  for(const gn of genes.slice(0,200))
-    html+='<tr onclick="setRegion('+gn.start+','+gn.end+')"><td>'+gn.name
-      +'</td><td>'+gn.start.toLocaleString()+'</td><td>'
-      +gn.end.toLocaleString()+'</td><td>'+gn.unique+'</td><td>'
-      +gn.universal+'</td></tr>';
-  html+='</table>';
-  if(genes.length>200)html+='<i style="font-size:11px">'
-    +(genes.length-200)+' more...</i>';
-  div.innerHTML=html;
+  div.textContent='';
+  if(!genes.length){const i=document.createElement('i');
+    i.style.fontSize='12px';i.textContent='no genes in view';
+    div.appendChild(i);return;}
+  // DOM construction, not innerHTML: gene names come verbatim from the
+  // user's GFF and must never be parsed as markup
+  const tbl=document.createElement('table');tbl.className='genes';
+  const hr=tbl.insertRow();
+  for(const h of ['name','start','end','unique','universal']){
+    const th=document.createElement('th');th.textContent=h;
+    hr.appendChild(th);}
+  for(const gn of genes.slice(0,200)){
+    const tr=tbl.insertRow();
+    tr.onclick=((s,e)=>()=>setRegion(s,e))(gn.start,gn.end);
+    for(const v of [gn.name,gn.start.toLocaleString(),
+                    gn.end.toLocaleString(),gn.unique,gn.universal])
+      tr.insertCell().textContent=v;}
+  div.appendChild(tbl);
+  if(genes.length>200){const i=document.createElement('i');
+    i.style.fontSize='11px';i.textContent=(genes.length-200)+' more...';
+    div.appendChild(i);}
 }
 init();
 </script></body></html>
@@ -439,7 +447,8 @@ class _Handler(BaseHTTPRequestHandler):
     # PNG; reset by serve() so a new/rebuilt index never serves stale plots
     _cache = OrderedDict()
     _cache_max = 128
-    _lock = threading.Lock()
+    _lock = threading.Lock()          # cache bookkeeping
+    _render_lock = threading.Lock()   # matplotlib is not thread-safe
 
     def log_message(self, fmt, *args):
         pass
@@ -473,12 +482,21 @@ class _Handler(BaseHTTPRequestHandler):
             self._error(traceback.format_exc())
 
     def _cached(self, key, build):
-        """Cache (png, map) pairs under one key."""
+        """Cache (png, map) pairs under one key.  Builds serialize under
+        _render_lock — pyplot's global figure registry is not thread-safe
+        and ThreadingHTTPServer handles requests concurrently (the
+        frontend fires the png and its map/JSON twin together, same key);
+        the re-check inside the lock stops a key being rendered twice."""
         with self._lock:
             if key in self._cache:
                 self._cache.move_to_end(key)
                 return self._cache[key]
-        val = build()
+        with self._render_lock:
+            with self._lock:
+                if key in self._cache:
+                    self._cache.move_to_end(key)
+                    return self._cache[key]
+            val = build()
         with self._lock:
             self._cache[key] = val
             self._cache.move_to_end(key)

@@ -59,3 +59,23 @@ def test_device_dict_end_to_end_anchor(rng, tmp_path):
         t1 = (tmp_path / "i1" / "anchor" / g / "bitsum.bins.tsv").read_text()
         t2 = (tmp_path / "i2" / "anchor" / g / "bitsum.bins.tsv").read_text()
         assert t1 == t2
+
+
+def test_device_dict_long_sequence_multi_flush(rng):
+    """A single sequence spanning more than FLUSH_CHUNKS chunks flushes
+    mid-stream and must keep attributing later chunks to the same genome
+    (regression: the flush used to null the buffered gid, crashing — or
+    worse, misattributing bits — on any chromosome > FLUSH_CHUNKS*chunk)."""
+    seqs = [random_seq(rng, 4000, n_frac=0.01) for _ in range(3)]
+    sets = [genome_kmer_set([s], K) for s in seqs]
+    want_keys, want_masks = build_dict_np(sets)
+
+    b = DeviceDictBuilder(K, 3, chunk=256)   # 4000 bp -> ~16 chunks, 2 flushes
+    for gid, s in enumerate(seqs):
+        b.add_sequence(gid, seq_to_codes(s))
+    d = b.to_host()
+
+    mixed = mix64_np(want_keys)
+    order = np.argsort(mixed)
+    assert np.array_equal(d.keys, mixed[order])
+    assert np.array_equal(d.masks, want_masks[order])

@@ -128,3 +128,26 @@ def test_bgzf_writer_accepts_buffer_protocol(tmp_path):
     want = rows.tobytes() + tail.tobytes() + b"xyz"
     assert r.read_at(0, len(want)) == want
     assert r.read_at(65534, 10) == want[65534:65544]
+
+
+def test_write_fai_rejects_blank_lines_inside_sequence(tmp_path):
+    """A blank line inside a record shifts all later offsets — silent
+    wrong-bases territory — so write_fai must refuse (samtools faidx
+    errors on such input); a trailing blank line is harmless."""
+    import pytest
+
+    from panagram_tpu.io.fasta import write_fai
+
+    bad = tmp_path / "bad.fa"
+    bad.write_text(">c\nAAAA\n\nCCCC\n")
+    with pytest.raises(ValueError):
+        write_fai(str(bad))
+
+    bad2 = tmp_path / "bad2.fa"
+    bad2.write_text(">c\n\nAAAA\n")
+    with pytest.raises(ValueError):
+        write_fai(str(bad2))
+
+    ok = tmp_path / "ok.fa"
+    ok.write_text(">c\nAAAA\nCC\n\n>d\nGGGG\n")
+    write_fai(str(ok))  # trailing blank before the next record is fine
