@@ -108,7 +108,7 @@ def main():
     reps = -(-seq_len // dict_genome_len)
     anchor_codes = np.tile(genomes[0], reps)[:seq_len]
 
-    capacity = chunk // 8
+    capacity = chunk   # v3 count <= positions: RLE overflow unreachable
 
     def run_once():
         nk = seq_len - k + 1

@@ -690,7 +690,7 @@ class Genome:
         return max(int(binlen), 1)
 
     def _device_chunk_results(self, codes, nkmers, chunk, buf, t1, bd,
-                              state=None):
+                              state=None, capacity=None):
         """Single-chip streamed chunk engine: dispatch every chunk's fused
         RLE kernel asynchronously, then drain in order.  Yields
         (start, m, bitmap bytes [m, nbytes], popc i32 [m], colsums [N]).
@@ -715,7 +715,13 @@ class Genome:
         k = self.index.k
         N = self.ngenomes
         nbytes = self.nbytes
-        capacity = chunk // 8
+        # capacity = chunk can never overflow (every v3 row consumes >= 1
+        # position), so the dense fallback is unreachable at the default;
+        # transfers are sized by the observed count, so the only cost is
+        # ~5 B/position of device+host buffer.  The parameter exists for
+        # the fallback's own test coverage.
+        if capacity is None:
+            capacity = chunk
 
         # bounded dispatch-ahead pipeline: device compute and the async
         # prefix d2h copies of up to PIPELINE_DEPTH chunks overlap with
@@ -796,7 +802,7 @@ class Genome:
         nbytes = self.nbytes
         S = mesh.devices.size
         C_dev = -(-chunk // S)
-        capacity = max(C_dev // 8, 1024)
+        capacity = C_dev   # v3 count <= positions: overflow unreachable
 
         # per-device persistent decode buffers (see _device_chunk_results:
         # fresh allocations stall on sandbox page faults); one slab per

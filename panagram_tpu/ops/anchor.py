@@ -305,7 +305,10 @@ def dispatch_rle_prefix(combined: jax.Array, hint: int | None = None):
     Returns the piece list for collect_rle2."""
     total = combined.shape[0]
     if hint is None:
-        target = total
+        # no observed count yet: read 1/8 of the buffer (run counts land
+        # far below that on real pangenomes — a miss costs one synchronous
+        # piece round trip, once per process)
+        target = max(total // 8, min(total, _PIECE))
     else:
         target = min(hint + (hint >> 3) + 2, total)
     pieces = []

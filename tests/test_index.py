@@ -428,13 +428,13 @@ def test_device_chunk_rle_overflow_falls_back_dense(pan):
     chrom, seq = next(iter(g.iter_fasta()))
     codes = seq_to_codes(seq)
     nkmers = len(codes) - K + 1
-    chunk = 64                                    # capacity 8 rows/chunk
+    chunk = 64
     buf = np.empty(chunk + K - 1, np.uint8)
 
     parts_by, parts_popc = [], []
     colsums = np.zeros(g.ngenomes, np.int64)
     for start, m, by, popc_np, cs in g._device_chunk_results(
-            codes, nkmers, chunk, buf, t1, bd):
+            codes, nkmers, chunk, buf, t1, bd, capacity=8):
         parts_by.append(np.array(by, copy=True))
         parts_popc.append(np.array(popc_np, copy=True))
         colsums += cs
