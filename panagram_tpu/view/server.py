@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import threading
+import time
 import traceback
 from collections import OrderedDict
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -496,7 +497,13 @@ class _Handler(BaseHTTPRequestHandler):
                 if key in self._cache:
                     self._cache.move_to_end(key)
                     return self._cache[key]
+            t0 = time.perf_counter()
             val = build()
+            # render stopwatch, the reference viewer's perf telemetry
+            # (reference view.py:2835-2930 time.perf_counter prints)
+            print(f"render {key[-1] if isinstance(key, tuple) else key}: "
+                  f"{1e3 * (time.perf_counter() - t0):.0f} ms "
+                  f"{key}", flush=True)
         with self._lock:
             self._cache[key] = val
             self._cache.move_to_end(key)
