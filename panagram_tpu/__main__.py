@@ -36,6 +36,12 @@ def _add_index(sub):
                    help="build on an N-device mesh: distributed dictionary "
                         "merge (all_to_all) + sequence-sharded anchoring; "
                         "outputs are byte-identical to the 1-device build")
+    p.add_argument("--mesh-strategy", choices=("range", "genomes"),
+                   default="range",
+                   help="mesh sharding: 'range' = key-range-sharded dict + "
+                        "sequence sharding; 'genomes' = mask words split "
+                        "across devices (bit-plane parallelism, for large "
+                        "genome counts)")
     p.add_argument("--num-processes", type=int, default=1,
                    help="distributed build: total processes/hosts")
     p.add_argument("--process-id", type=int, default=0,
@@ -78,7 +84,8 @@ def _run_index(args):
     else:
         idx = build_index(args.input, prefix=args.prefix, force=args.force,
                           device_dict=args.device_dict,
-                          mesh_devices=args.mesh, **params)
+                          mesh_devices=args.mesh,
+                          mesh_strategy=args.mesh_strategy, **params)
         print(f"Index built at {idx.prefix}")
 
 

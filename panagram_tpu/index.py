@@ -859,6 +859,47 @@ class Genome:
         while pending:
             yield _drain()
 
+    def _genome_mesh_chunk_results(self, mesh, gsd, codes, nkmers, chunk):
+        """Genome-dimension-sharded chunk engine (SURVEY §2.7 P5): every
+        device anchors the SAME positions against its own slice of the
+        mask words (bit-plane / tensor parallelism over the genome axis),
+        popcounts are psum'd on device, and the host hstacks the
+        per-shard byte slices exactly like the reference concatenates
+        per-KMC-DB byte slices (reference index.py:936-947).  Yields the
+        same tuples as _device_chunk_results, so the write path is
+        shared and mesh builds stay byte-identical."""
+        from .ops.anchor import PIPELINE_DEPTH
+        from .parallel.shard import (
+            assemble_genome_shards,
+            genome_sharded_anchor_chunk,
+        )
+
+        k = self.index.k
+        N = self.ngenomes
+        nbytes = self.nbytes
+        buf = np.full(chunk + k - 1, 255, np.uint8)
+
+        pending = []
+
+        def _drain():
+            start, m, by_dev, popc_dev = pending.pop(0)
+            by = assemble_genome_shards(np.asarray(by_dev), nbytes)[:m]
+            popc_np = np.asarray(popc_dev)[:m].astype(np.int32)
+            bits = np.unpackbits(by, axis=1, bitorder="little")[:, :N]
+            colsums = bits.astype(np.int64).sum(axis=0)
+            return start, m, by, popc_np, colsums
+
+        for start in range(0, nkmers, chunk):
+            m = min(chunk, nkmers - start)
+            buf[:] = 255
+            buf[: m + k - 1] = codes[start : start + m + k - 1]
+            by_dev, popc_dev = genome_sharded_anchor_chunk(mesh, gsd, buf)
+            pending.append((start, m, by_dev, popc_dev))
+            if len(pending) >= PIPELINE_DEPTH:
+                yield _drain()
+        while pending:
+            yield _drain()
+
     def run_anchor(self, pan_dict=None, logfile=None, bucketed=None,
                    mesh=None, sharded=None):
         """Anchor this genome against the pan-kmer dictionary.
@@ -872,11 +913,14 @@ class Genome:
         `bucketed` (a prebuilt ops.lookup.BucketedDict) avoids re-laying
         out the dictionary per anchor genome.
 
-        `mesh` + `sharded` (a parallel.shard.ShardedBucketedDict) switch
-        the per-chunk kernel to the DISTRIBUTED engine: sequence-sharded
-        slices with (k-1) halos, all_to_all query routing into per-shard
-        bucket tables, and per-device RLE-compacted outputs — same bytes,
-        any number of chips.
+        `mesh` + `sharded` switch the per-chunk kernel to a DISTRIBUTED
+        engine — same bytes, any number of chips:
+        * a parallel.shard.ShardedBucketedDict selects the range-sharded
+          engine (sequence-sharded slices with (k-1) halos, all_to_all
+          query routing, per-device RLE outputs);
+        * a parallel.shard.GenomeShardedDict selects the genome-dimension
+          engine (every device probes its own mask-word slice, psum'd
+          popcounts, per-shard byte slices hstacked on the host).
         """
         if logfile:
             init_logger(logfile)
@@ -897,7 +941,11 @@ class Genome:
         lowres = self.index.lowres_step
 
         use_mesh = mesh is not None and sharded is not None
+        genome_mesh = False
         if use_mesh:
+            from .parallel.shard import GenomeShardedDict
+
+            genome_mesh = isinstance(sharded, GenomeShardedDict)
             t1 = bd = None
         else:
             # device-side layout: ~3.4x fewer h2d bytes than uploading a
@@ -948,7 +996,10 @@ class Genome:
             hist = np.zeros((nbins, N + 1), np.int64)
             popc_full = np.empty(nkmers, np.int16) if self.annotated else None
 
-            if use_mesh:
+            if genome_mesh:
+                results = self._genome_mesh_chunk_results(
+                    mesh, sharded, codes, nkmers, chunk)
+            elif use_mesh:
                 results = self._mesh_chunk_results(
                     mesh, sharded, codes, nkmers, chunk)
             else:

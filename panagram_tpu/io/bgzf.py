@@ -103,6 +103,8 @@ class BgzfWriter:
             # append without an intermediate bytes copy; a bare ndarray
             # would otherwise dispatch to numpy's broadcasting +=
             data = memoryview(data)
+            if not data.c_contiguous:
+                data = data.tobytes()
         self._buf += data
         while len(self._buf) >= MAX_BLOCK_DATA:
             self._flush_block(bytes(self._buf[:MAX_BLOCK_DATA]))

@@ -295,21 +295,26 @@ def dist_stage(index: Index, pan_dict=None, force=False) -> str:
 
 
 def build_index(samples_or_dir: str, prefix=None, force=False,
-                device_dict=False, mesh_devices=None, **params) -> Index:
+                device_dict=False, mesh_devices=None,
+                mesh_strategy="range", **params) -> Index:
     """Run the full build DAG.  `samples_or_dir` is a samples.tsv (fresh
     build) or an initialized index dir (resume).  device_dict=True streams
     counting+merge entirely on device (no per-genome set artifacts).
     mesh_devices=N runs the dictionary merge AND anchoring on the
     N-device distributed engine (parallel/shard.py) — the production
     multi-chip path; outputs are byte-identical to the single-device
-    build (tests/test_parallel.py)."""
+    build (tests/test_parallel.py).  mesh_strategy picks the sharding:
+    "range" (key-range-sharded dictionary + sequence sharding with
+    all_to_all routing — SURVEY P4/P8) or "genomes" (mask words split
+    across devices, bit-plane tensor parallelism — SURVEY P5; the better
+    fit when the genome count, not the dictionary, is what scales)."""
     index = Index(samples_or_dir, mode="w", prefix=prefix, **params)
     logdir = os.path.join(index.prefix, "logs")
     os.makedirs(logdir, exist_ok=True)
     init_logger()
 
     if mesh_devices:
-        return _build_index_mesh(index, mesh_devices, force)
+        return _build_index_mesh(index, mesh_devices, force, mesh_strategy)
 
     if device_dict:
         build_dict_device(index, force=force)
@@ -355,14 +360,18 @@ def build_index(samples_or_dir: str, prefix=None, force=False,
     return Index(index.prefix)
 
 
-def _build_index_mesh(index: Index, mesh_devices: int, force: bool) -> Index:
+def _build_index_mesh(index: Index, mesh_devices: int, force: bool,
+                      strategy: str = "range") -> Index:
     """The distributed build DAG: count per genome (cached artifacts),
     merge + lay out the dictionary across the mesh, anchor every genome
-    through the sharded engine, then distances from the host mirror."""
+    through the selected sharded engine, then distances from the host
+    mirror."""
     import jax
 
     from .parallel import make_mesh
 
+    if strategy not in ("range", "genomes"):
+        raise ValueError(f"unknown mesh strategy '{strategy}'")
     if len(jax.devices()) < mesh_devices:
         raise RuntimeError(
             f"--mesh {mesh_devices}: only {len(jax.devices())} devices "
@@ -374,11 +383,20 @@ def _build_index_mesh(index: Index, mesh_devices: int, force: bool) -> Index:
         if index.genomes[name].fasta is not None:
             count_genome(index, name, force=force)
 
-    sbd, pan_dict = build_dict_mesh(index, mesh, force=force)
+    if strategy == "genomes":
+        # genome-dimension (bit-plane) sharding: one replicated-key table
+        # per device, each holding a slice of the mask words
+        from .parallel.shard import shard_dictionary_genomes
+
+        build_dict_stage(index, force=force)
+        pan_dict = PanKmerDict.load(index.dict_fname)
+        sharded = shard_dictionary_genomes(pan_dict, mesh)
+    else:
+        sharded, pan_dict = build_dict_mesh(index, mesh, force=force)
 
     for name in index.anchor_genomes:
         anchor_stage(index, name, pan_dict, force=force, mesh=mesh,
-                     sharded=sbd)
+                     sharded=sharded)
 
     dist_stage(index, pan_dict, force=force)
     return Index(index.prefix)

@@ -235,3 +235,53 @@ def test_sharded_anchor_wide_masks_row_width():
     assert np.array_equal(by, want_by)
     assert np.array_equal(popc, popcount_np(want_rows))
     assert np.array_equal(colsums, want_bits.sum(axis=0))
+
+
+def test_mesh_genomes_strategy_cli_byte_identical(tmp_path):
+    """END-TO-END: `index --mesh 8 --mesh-strategy genomes` (mask words
+    split across devices, SURVEY P5 bit-plane parallelism) must produce
+    an index byte-identical to the single-device build — exercised at 34
+    genomes so the mask spans two words and per-shard byte slices must
+    reassemble in the reference's per-DB order."""
+    from panagram_tpu.__main__ import main as cli_main
+    from panagram_tpu.io.bgzf import decompress_file
+
+    rng = np.random.default_rng(101)
+    fa_dir = tmp_path / "fa"
+    fa_dir.mkdir()
+    base = random_seq(rng, 1100, n_frac=0.005)
+
+    def mutate(seq, n):
+        s = list(seq)
+        for i in rng.choice(len(s), n, replace=False):
+            s[i] = "ACGT"[rng.integers(4)]
+        return "".join(s)
+
+    names = []
+    for i in range(34):
+        name = f"g{i:02d}"
+        names.append(name)
+        seq = base if i == 0 else mutate(base, 10 + i)
+        with open(fa_dir / f"{name}.fa", "w") as f:
+            f.write(f">c1\n{seq}\n")
+    samples = tmp_path / "samples.tsv"
+    samples.write_text("name\tfasta\n" + "".join(
+        f"{n}\t{fa_dir}/{n}.fa\n" for n in names))
+
+    anchors = names[:2]
+    single = tmp_path / "single"
+    meshed = tmp_path / "meshed"
+    cli_main(["index", str(samples), "-o", str(single), "-k", str(K),
+              "--anchor-genomes", *anchors])
+    cli_main(["index", str(samples), "-o", str(meshed), "-k", str(K),
+              "--anchor-genomes", *anchors,
+              "--mesh", "8", "--mesh-strategy", "genomes"])
+
+    for g in names[:2]:
+        for fn in ["bitmap.1.gz", "bitmap.100.gz"]:
+            a = decompress_file(str(single / "anchor" / g / fn))
+            b = decompress_file(str(meshed / "anchor" / g / fn))
+            assert a == b, f"{g}/{fn}"
+        for fn in ["chrs.tsv", "bitsum.bins.tsv", "total_paircounts.csv"]:
+            assert (single / "anchor" / g / fn).read_bytes() == \
+                (meshed / "anchor" / g / fn).read_bytes(), f"{g}/{fn}"
