@@ -162,28 +162,15 @@ def threshold_matrix(sims, comp_group, thresholds, simple=False):
     return ((ref_sim < 0.95) & (comp_sim >= ref_sim + thr)).astype(int)
 
 
-def threshold_introgressions(binned, anchor, comp_group, threshold):
-    """2-way / 3-way threshold logic (reference :289-339)."""
-    sims = similarity_frame(binned, anchor, comp_group)
-    sims["introgression"] = threshold_matrix(sims, comp_group, [threshold])[0]
-    return sims
-
-
-def threshold_introgressions_simple(binned, anchor, threshold):
-    """REF-space simple threshold (reference :342-358)."""
-    sims = similarity_frame_simple(binned, anchor)
-    sims["introgression"] = threshold_matrix(sims, None, [threshold],
-                                             simple=True)[0]
-    return sims
-
-
 def visualize(binned, output_file, inverse=False, title=None, groups=None):
     """Similarity heatmap (matplotlib stand-in for the reference's plotly
-    px.imshow, :398-490); writes SVG/PNG by file extension."""
-    import matplotlib
+    px.imshow, :398-490); writes SVG/PNG by file extension.
 
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
+    Built through the object-oriented Figure API, NOT pyplot: the caller
+    fan-outs (anchor x chromosome thread pool, per-threshold scoring
+    pool) render concurrently and pyplot's global figure registry is not
+    thread-safe."""
+    from matplotlib.figure import Figure
 
     if groups is not None:
         ordered = [n for n in groups.index if n in binned.index]
@@ -195,9 +182,9 @@ def visualize(binned, output_file, inverse=False, title=None, groups=None):
             binned.loc["Introgressions"] = intros
 
     data = binned.to_numpy(dtype=float)
-    fig, ax = plt.subplots(
-        figsize=(max(7, min(30, data.shape[1] / 20)),
-                 max(3, 0.25 * data.shape[0] + 1.5)))
+    fig = Figure(figsize=(max(7, min(30, data.shape[1] / 20)),
+                          max(3, 0.25 * data.shape[0] + 1.5)))
+    ax = fig.subplots()
     cmap = "plasma_r" if inverse else "viridis"
     im = ax.imshow(data, aspect="auto", cmap=cmap, vmin=0, vmax=1,
                    interpolation="nearest",
@@ -210,7 +197,6 @@ def visualize(binned, output_file, inverse=False, title=None, groups=None):
         ax.set_title(title, fontsize=10)
     fig.colorbar(im, ax=ax, label="Kmer Similarity")
     fig.savefig(output_file, bbox_inches="tight")
-    plt.close(fig)
 
 
 def run_introgression_finder(anchor, genome, ref_genome, chr_name, groups,

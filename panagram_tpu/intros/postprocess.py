@@ -31,9 +31,11 @@ def _have_tool(name):
     return shutil.which(name) is not None
 
 
-def run_liftover(bed_files, index, index_dir, ref_accession, minimap_flags,
+def run_liftover(bed_files, index, ref_accession, minimap_flags,
                  paf_dir, output_dir, threads=1):
-    """minimap2 alignment + paftools liftover (reference :183-412)."""
+    """minimap2 alignment + paftools liftover (reference :183-412).
+    Alignments fan out over `threads` (the reference parallelizes them
+    the same way, :268-318 — minimap2 is the slow step)."""
     if not (_have_tool("minimap2") and _have_tool("paftools.js")):
         raise RuntimeError(
             "lift action requires minimap2 and paftools.js on PATH")
@@ -48,7 +50,7 @@ def run_liftover(bed_files, index, index_dir, ref_accession, minimap_flags,
         _, acc, _ = get_bed_pieces(f, index.genomes.keys())
         accessions.add(acc)
 
-    for acc in accessions:
+    def _align(acc):
         paf = paf_dir / f"{acc}.paf"
         if not paf.exists():
             q_fasta = index.genomes[acc]._fasta_path
@@ -56,6 +58,15 @@ def run_liftover(bed_files, index, index_dir, ref_accession, minimap_flags,
                 subprocess.check_call(
                     ["minimap2", *minimap_flags.split(), ref_fasta, q_fasta],
                     stdout=out)
+
+    if threads > 1 and len(accessions) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=threads) as ex:
+            list(ex.map(_align, sorted(accessions)))
+    else:
+        for acc in sorted(accessions):
+            _align(acc)
 
     lifted = []
     for f in bed_files:
@@ -81,7 +92,7 @@ def postprocess(index, bed_files, actions, output_dir, ref=None,
 
     bed_files = [Path(f) for f in bed_files]
     if "lift" in (actions or []):
-        bed_files = run_liftover(bed_files, index, None, ref, minimap_flags,
+        bed_files = run_liftover(bed_files, index, ref, minimap_flags,
                                  paf_dir, output_dir, threads)
 
     for bed_file in bed_files:

@@ -76,12 +76,11 @@ def score_introgressions(pred_df, gt_df):
 
 
 def create_scored_heatmap(pred_df, gt_df, output_file, groups=None):
-    """TP/FP/TN/FN heatmap (reference :227-289), matplotlib."""
-    import matplotlib
-
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
+    """TP/FP/TN/FN heatmap (reference :227-289), matplotlib.  Figure API
+    (not pyplot): the runner scores thresholds from a thread pool and
+    pyplot's global state is not thread-safe."""
     from matplotlib.colors import ListedColormap
+    from matplotlib.figure import Figure
 
     shared = sorted(set(pred_df.index).intersection(set(gt_df.index)))
     if groups is not None:
@@ -92,14 +91,14 @@ def create_scored_heatmap(pred_df, gt_df, output_file, groups=None):
     # 0=TN 1=FP 2=FN 3=TP
     code = p + 2 * g
     cmap = ListedColormap(["#f0f0f0", "#d62728", "#ff7f0e", "#2ca02c"])
-    fig, ax = plt.subplots(figsize=(10, 0.3 * len(shared) + 1.5))
+    fig = Figure(figsize=(10, 0.3 * len(shared) + 1.5))
+    ax = fig.subplots()
     ax.imshow(code, aspect="auto", cmap=cmap, vmin=0, vmax=3,
               interpolation="nearest")
     ax.set_yticks(range(len(shared)), shared, fontsize=7)
     ax.set_xlabel("bin")
     ax.set_title("TN grey / FP red / FN orange / TP green", fontsize=9)
     fig.savefig(output_file, bbox_inches="tight")
-    plt.close(fig)
 
 
 def rescale_prediction_row(row, original_bin_size, new_bin_size, chr_length):

@@ -145,18 +145,16 @@ def apply_genome_wide_mutations(seqs, sub_rate, ins_rate, del_rate,
                                 del_size_max, rng):
     out = {}
     mappers = {}
-    available = {}
     for chrom, seq in seqs.items():
         new_seq, mapper = mutate_sequence(
             seq, sub_rate, ins_rate, del_rate, ins_size_min, ins_size_max,
             del_size_min, del_size_max, rng)
         out[chrom] = new_seq
         mappers[chrom] = mapper
-        available[chrom] = np.flatnonzero(mapper[:-1] >= 0)
-    return out, mappers, available
+    return out, mappers
 
 
-def apply_genome_wide_introgressions(ref_seqs, rel_seqs, mappers, available,
+def apply_genome_wide_introgressions(ref_seqs, rel_seqs, mappers,
                                      num_intros, size_min, size_max, rng):
     """Splice segments of the relative into the reference (reference
     :152-212); returns (offspring_seqs, bed_lines in REFERENCE coords)."""
@@ -245,14 +243,14 @@ def main(argv=None):
     if not ref_seqs:
         raise ValueError(f"no sequences read from {reference}")
 
-    rel_seqs, mappers, available = apply_genome_wide_mutations(
+    rel_seqs, mappers = apply_genome_wide_mutations(
         ref_seqs, args.rel_sub_rate, args.rel_ins_rate, args.rel_del_rate,
         args.rel_ins_size_min, args.rel_ins_size_max,
         args.rel_del_size_min, args.rel_del_size_max, rng)
     write_fasta(rel_seqs, out_dir / f"{base}_wildrelative.fasta")
 
     offspring, introgressions = apply_genome_wide_introgressions(
-        ref_seqs, rel_seqs, mappers, available,
+        ref_seqs, rel_seqs, mappers,
         args.num_introgressions, args.introgression_size_min,
         args.introgression_size_max, rng)
     write_fasta(offspring, out_dir / f"{base}_0_offspring.fasta")
@@ -268,7 +266,7 @@ def main(argv=None):
     ends = [int(e.split("\t")[2]) for e in introgressions]
 
     for i in range(args.rounds):
-        offspring, mappers, _ = apply_genome_wide_mutations(
+        offspring, mappers = apply_genome_wide_mutations(
             parent, sub_rates[i], ins_rates[i], del_rates[i],
             args.mut_ins_size_min, args.mut_ins_size_max,
             args.mut_del_size_min, args.mut_del_size_max, rng)

@@ -157,7 +157,10 @@ def chromosome_histograms(index) -> bytes:
     (reference figs.read_genome_comp:28-47)."""
     n = index.ngenomes
     colors = genome_colors(n + 1)
+    # skip anchors whose build never completed (chrs is None) — the same
+    # filter _init_read and /api/meta apply
     rows = [(g, c) for g in index.anchor_genomes
+            if index.genomes[g].chrs is not None
             for c in index.genomes[g].chrs.index]
     rows = rows[: index.conf.max_view_chrs]
     fig, axes = plt.subplots(

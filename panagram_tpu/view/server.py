@@ -296,6 +296,10 @@ function dragEnd(ev){
 }
 
 // ---- hover detail ----------------------------------------------------
+// index-derived strings (chromosome/genome names, tree labels) must never
+// be parsed as markup: tip lines join with <br> but each line is escaped
+function esc(s){const d=document.createElement('div');
+  d.textContent=String(s);return d.innerHTML;}
 function tipShow(ev,html){const t=$('tip');t.innerHTML=html;
   t.style.display='block';
   t.style.left=(ev.clientX+14)+'px';t.style.top=(ev.clientY+14)+'px';}
@@ -306,7 +310,7 @@ function hover(ev){
   const row=rowAt(VIEWMAP,x,y);
   if(!row)return tipHide();
   const bp=pxToBp(row,x);
-  let html=$('chrom').value+':'+bp.toLocaleString();
+  let html=esc($('chrom').value)+':'+bp.toLocaleString();
   const bx=VIEWMAP.bins_x;
   if(bx&&bx.length){
     let i=bx.findIndex(v=>v>bp);i=(i<0?bx.length:i)-1;
@@ -317,7 +321,7 @@ function hover(ev){
     const fr=(y-row.py0)/(row.py1-row.py0);
     const gi=Math.floor(fr*VIEWMAP.labels.length);
     if(gi>=0&&gi<VIEWMAP.labels.length)
-      html+='<br>genome: '+VIEWMAP.labels[gi];
+      html+='<br>genome: '+esc(VIEWMAP.labels[gi]);
   }
   tipShow(ev,html);
 }
@@ -473,12 +477,18 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_GET(self):
         url = urlparse(self.path)
-        q = {k: v[0] for k, v in parse_qs(url.query).items()}
+        # keep_blank_values: an empty 'types=' means "no annotation
+        # tracks", which must stay distinct from no parameter ("all")
+        q = {k: v[0]
+             for k, v in parse_qs(url.query, keep_blank_values=True).items()}
         parts = [p for p in url.path.split("/") if p]
         try:
             self._route(url.path, parts, q)
         except BrokenPipeError:
             pass
+        except (KeyError, IndexError):
+            # malformed/unknown plot or api path, not a server fault
+            self._error("not found", 404)
         except Exception:
             self._error(traceback.format_exc())
 

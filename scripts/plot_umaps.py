@@ -34,7 +34,9 @@ def chrom_bins(index, anchor, chrom, bin_size, step):
     bitmap = index.query_bitmap(anchor, chrom, 0, size, step)
     _, paircounts = index.bitmap_to_bins(bitmap, bin_size)
     pc = paircounts.fillna(0)
-    starts = pc.columns.to_numpy() * bin_size
+    # paircount columns are already base-pair starts (bitmap_to_bins
+    # emits columns = bin_id * binlen — index.py)
+    starts = pc.columns.to_numpy()
     return pc.to_numpy().T, [chrom] * pc.shape[1], starts
 
 

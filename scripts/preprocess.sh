@@ -27,12 +27,26 @@ python -m panagram_tpu index "$input" -o "$outdir" -k "$k" --prepare
 # per-stage wall-clock lands in $outdir/logs/*.benchmark.txt
 python -m panagram_tpu index "$outdir" -c "$cores"
 
-# stage 3: refresh annotations for every sample that declares a GFF
-# (column 3 of samples.tsv), the manual analogue of the build's ingest
-tail -n +2 "$input" | while IFS=$'\t' read -r name fasta gff _; do
-    if [ -n "${gff:-}" ] && [ -e "$gff" ]; then
-        python -m panagram_tpu annotate "$outdir" "$name" "$gff"
-    fi
-done
+# stage 3: refresh annotations for every sample that declares a GFF —
+# the manual analogue of the build's ingest.  Columns are located by
+# HEADER (the Python reader is header-driven, not positional), and
+# relative GFF paths resolve against the samples.tsv directory exactly
+# like the indexer does (panagram_tpu/index.py init_config).
+tsv_dir=$(cd "$(dirname "$input")" && pwd)
+name_col=$(head -1 "$input" | tr '\t' '\n' | grep -nx name | cut -d: -f1)
+gff_col=$(head -1 "$input" | tr '\t' '\n' | grep -nx gff | cut -d: -f1)
+if [ -n "$gff_col" ]; then
+    tail -n +2 "$input" | while IFS= read -r row; do
+        name=$(printf '%s\n' "$row" | cut -f"$name_col")
+        gff=$(printf '%s\n' "$row" | cut -f"$gff_col")
+        [ -n "$gff" ] || continue
+        case "$gff" in /*) ;; *) gff="$tsv_dir/$gff" ;; esac
+        if [ -e "$gff" ]; then
+            python -m panagram_tpu annotate "$outdir" "$name" "$gff"
+        else
+            echo "preprocess: WARNING gff not found for $name: $gff" >&2
+        fi
+    done
+fi
 
 echo "preprocess: index ready at $outdir"
