@@ -37,7 +37,7 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..ops.codec import SENTINEL, pack_kmers
+from ..ops.codec import SENTINEL
 from ..ops.dictionary import PanKmerDict
 from ..ops.lookup import BucketedDict, layout_rows, mix64
 from .mesh import DICT_AXIS
@@ -330,20 +330,38 @@ def _unmix64_np(x: np.ndarray) -> np.ndarray:
 # --------------------------------------------------------------- anchor --
 
 
-def _anchor_body(codes, table_l, *, k, n_shards, nbits, cap, stride,
-                 nwords, nbytes, capacity):
+def _pack_rows(codes_rows):
+    """Host-side: u8 codes [S, L] -> (packed u8 [S, ceil(L/4)],
+    nmask u8 [S, ceil(L/8)]) in the pack_bases_np transfer encoding."""
+    from ..ops.codec import pack_bases_np
+
+    packed, masks = [], []
+    for row in np.asarray(codes_rows, np.uint8):
+        p, m, _ = pack_bases_np(row)
+        packed.append(p)
+        masks.append(m)
+    return np.stack(packed), np.stack(masks)
+
+
+def _anchor_body(packed, nmask, table_l, *, k, L, n_shards, nbits, cap,
+                 stride, nwords, nbytes, capacity):
     """shard_map body for one streamed anchor chunk.
 
-    codes u8 [C + k - 1]: this device's halo'd chromosome slice (padding
-    code 255 -> SENTINEL keys -> zero masks).  The device RLE-compacts its
-    own slice: output row i < count is a v3 data row
+    packed/nmask: this device's halo'd chromosome slice in the 2-bit
+    transfer encoding (pack_bases_np; padding -> N-mask -> SENTINEL keys
+    -> zero masks) — 0.375 B/base over the host link instead of 1 B/base,
+    and the canonical keys come from the packed-stream codec.  The device
+    RLE-compacts its own slice: output row i < count is a v3 data row
     [local delta u8 | mask bytes] (rle_payload's layout, shared with
     anchor_chunk_rle2) — the host reconstructs per shard and concatenates
     (anchor.cpp:167-177's streamed writes, without ever materialising
     full rows globally)."""
-    codes = codes.reshape(-1)
+    from ..ops.codec import pack_kmers_packed
+
+    packed = packed.reshape(-1)
+    nmask = nmask.reshape(-1)
     table_l = table_l.reshape(table_l.shape[-2], table_l.shape[-1])
-    canon, _ = pack_kmers(codes, k)
+    canon, _ = pack_kmers_packed(packed, nmask, L, k)
     m = jnp.where(canon == SENTINEL, SENTINEL, mix64(canon))
     C = m.shape[0]
 
@@ -373,26 +391,29 @@ def sharded_anchor_chunk(mesh, sbd: ShardedBucketedDict,
     """Distributed anchor step over one chunk.
 
     codes_sharded u8 [S, C + k - 1]: per-device halo'd slices (device d
-    covers chunk-local positions [d*C, (d+1)*C)).  Returns
+    covers chunk-local positions [d*C, (d+1)*C)); they are 2-bit packed
+    HOST-SIDE before transfer (0.375 B/base over the link).  Returns
     (combined u8 [S, capacity, rle_row_bytes(nbytes)], counts i64 [S]) —
     per-device RLE v3 buffers; decode with ops.anchor.unpack_rle2 per
     shard.
     """
     n = mesh.devices.size
+    L = int(np.asarray(codes_sharded).shape[1])
+    packed, nmask = _pack_rows(codes_sharded)
     body = partial(
-        _anchor_body, k=sbd.k, n_shards=n, nbits=sbd.nbits, cap=sbd.cap,
-        stride=sbd.stride, nwords=sbd.nwords, nbytes=sbd.nbytes_row,
-        capacity=capacity,
+        _anchor_body, k=sbd.k, L=L, n_shards=n, nbits=sbd.nbits,
+        cap=sbd.cap, stride=sbd.stride, nwords=sbd.nwords,
+        nbytes=sbd.nbytes_row, capacity=capacity,
     )
     f = shard_map(
         body, mesh=mesh,
-        in_specs=(P(DICT_AXIS), P(DICT_AXIS)),
+        in_specs=(P(DICT_AXIS), P(DICT_AXIS), P(DICT_AXIS)),
         out_specs=(P(DICT_AXIS), P(DICT_AXIS)),
     )
     from ..ops.anchor import rle_row_bytes
 
-    combined, counts = jax.jit(f)(codes_sharded, sbd.tables)
-    C = codes_sharded.shape[1] - (sbd.k - 1)
+    combined, counts = jax.jit(f)(packed, nmask, sbd.tables)
+    C = L - (sbd.k - 1)
     return combined.reshape(n, capacity, rle_row_bytes(sbd.nbytes_row)), \
         counts.reshape(n), C
 
@@ -472,17 +493,20 @@ def shard_dictionary_genomes(pan_dict: PanKmerDict,
     )
 
 
-def _genome_anchor_body(codes, table_l, *, k, nbits, cap, nwords_local):
-    """shard_map body: every shard anchors the SAME positions against its
-    own mask-word slice; total occupancy is a psum over shards.  Output
-    bytes stay sharded along the genome axis — the host concatenates byte
-    slices exactly like the reference concatenates per-KMC-DB slices
-    (reference index.py:936-947)."""
+def _genome_anchor_body(packed, nmask, table_l, *, k, L, nbits, cap,
+                        nwords_local):
+    """shard_map body: every shard anchors the SAME positions (replicated
+    2-bit packed input) against its own mask-word slice; total occupancy
+    is a psum over shards.  Output bytes stay sharded along the genome
+    axis — the host concatenates byte slices exactly like the reference
+    concatenates per-KMC-DB slices (reference index.py:936-947)."""
+    from ..ops.codec import pack_kmers_packed
     from ..ops.lookup import bucket_query
 
-    codes = codes.reshape(-1)
+    packed = packed.reshape(-1)
+    nmask = nmask.reshape(-1)
     table_l = table_l.reshape(table_l.shape[-2], table_l.shape[-1])
-    canon, _ = pack_kmers(codes, k)
+    canon, _ = pack_kmers_packed(packed, nmask, L, k)
     m = jnp.where(canon == SENTINEL, SENTINEL, mix64(canon))
 
     # standard top-bits single-probe layout: the shard-local table is a
@@ -504,20 +528,25 @@ def genome_sharded_anchor_chunk(mesh, gsd: GenomeShardedDict,
                                 codes: np.ndarray):
     """Anchor one chunk against a genome-sharded dictionary.
 
-    codes u8 [C + k - 1] (replicated to every device).  Returns
-    (bytes u8 [S, C, 4*nwords_local] — per-shard genome byte slices,
-    popc i32 [C]).  Host assembly: hstack the S slices and trim to
-    ceil(ngenomes/8) columns."""
+    codes u8 [C + k - 1] (2-bit packed host-side, replicated to every
+    device).  Returns (bytes u8 [S, C, 4*nwords_local] — per-shard genome
+    byte slices, popc i32 [C]).  Host assembly: hstack the S slices and
+    trim to ceil(ngenomes/8) columns."""
+    from ..ops.codec import pack_bases_np
+
     n = mesh.devices.size
-    body = partial(_genome_anchor_body, k=gsd.k, nbits=gsd.nbits,
+    L = len(codes)
+    packed, nmask, _ = pack_bases_np(np.asarray(codes, np.uint8))
+    body = partial(_genome_anchor_body, k=gsd.k, L=L, nbits=gsd.nbits,
                    cap=gsd.cap, nwords_local=gsd.nwords_local)
     f = shard_map(
         body, mesh=mesh,
-        in_specs=(P(), P(DICT_AXIS)),
+        in_specs=(P(), P(), P(DICT_AXIS)),
         out_specs=(P(DICT_AXIS), P()),
     )
-    C = len(codes) - (gsd.k - 1)
-    by, popc = jax.jit(f)(jnp.asarray(codes), gsd.tables)
+    C = L - (gsd.k - 1)
+    by, popc = jax.jit(f)(jnp.asarray(packed), jnp.asarray(nmask),
+                          gsd.tables)
     return by.reshape(n, C, 4 * gsd.nwords_local), popc
 
 
