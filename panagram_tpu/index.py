@@ -882,19 +882,21 @@ class Genome:
         pending = []
 
         def _drain():
-            start, m, by_dev, popc_dev = pending.pop(0)
+            start, m, by_dev, popc_dev, cs_dev = pending.pop(0)
             by = assemble_genome_shards(np.asarray(by_dev), nbytes)[:m]
             popc_np = np.asarray(popc_dev)[:m].astype(np.int32)
-            bits = np.unpackbits(by, axis=1, bitorder="little")[:, :N]
-            colsums = bits.astype(np.int64).sum(axis=0)
+            # padding positions past m carry zero masks, so the device's
+            # full-slice totals are exact
+            colsums = np.asarray(cs_dev)[:N]
             return start, m, by, popc_np, colsums
 
         for start in range(0, nkmers, chunk):
             m = min(chunk, nkmers - start)
             buf[:] = 255
             buf[: m + k - 1] = codes[start : start + m + k - 1]
-            by_dev, popc_dev = genome_sharded_anchor_chunk(mesh, gsd, buf)
-            pending.append((start, m, by_dev, popc_dev))
+            by_dev, popc_dev, cs_dev = genome_sharded_anchor_chunk(
+                mesh, gsd, buf)
+            pending.append((start, m, by_dev, popc_dev, cs_dev))
             if len(pending) >= PIPELINE_DEPTH:
                 yield _drain()
         while pending:

@@ -98,18 +98,21 @@ class BgzfWriter:
         self._closed = False
 
     def write(self, data) -> int:
-        if not isinstance(data, (bytes, bytearray, memoryview)):
-            # C-contiguous buffer-protocol objects (e.g. uint8 ndarrays)
-            # append without an intermediate bytes copy; a bare ndarray
-            # would otherwise dispatch to numpy's broadcasting +=
+        """Append any bytes-like or buffer-protocol object (e.g. a uint8
+        ndarray, possibly multi-dimensional); returns BYTES written."""
+        if not isinstance(data, (bytes, bytearray)):
+            # memoryview normalizes ndarrays (a bare ndarray would
+            # dispatch to numpy's broadcasting +=) and exposes nbytes;
+            # non-contiguous views must flatten through tobytes
             data = memoryview(data)
             if not data.c_contiguous:
                 data = data.tobytes()
+        n = data.nbytes if isinstance(data, memoryview) else len(data)
         self._buf += data
         while len(self._buf) >= MAX_BLOCK_DATA:
             self._flush_block(bytes(self._buf[:MAX_BLOCK_DATA]))
             del self._buf[:MAX_BLOCK_DATA]
-        return len(data)
+        return n
 
     def _flush_block(self, data: bytes):
         if self._native is not None:

@@ -71,14 +71,16 @@ def masks_to_bytes(rows: jax.Array) -> jax.Array:
 def _colsum_list(rows: jax.Array, n: int) -> jax.Array:
     """Per-genome presence totals over the first n bits (int64 [n]).
 
-    One vectorized pass: bitcast the mask words to little-endian bytes,
-    broadcast-unpack all bits at once, and reduce over positions — not a
-    per-genome Python loop of n separate reductions."""
+    Eight fused shift+mask+sum passes over the byte view — memory-bounded
+    at one [P, 4W] u8 temp per pass (a full broadcast-unpack would
+    materialise [P, 32W], which aborted the 8-virtual-device CPU mesh at
+    the 4M-position chunk; a per-genome loop would make n passes)."""
     P, W = rows.shape
     by = jax.lax.bitcast_convert_type(rows, jnp.uint8)       # [P, W, 4] LE
-    shifts = jnp.arange(8, dtype=jnp.uint8)
-    bits = (by[:, :, :, None] >> shifts) & jnp.uint8(1)      # [P, W, 4, 8]
-    sums = jnp.sum(bits.reshape(P, 32 * W).astype(jnp.int32), axis=0)
+    byf = by.reshape(P, 4 * W)
+    cols = [jnp.sum(((byf >> jnp.uint8(b)) & jnp.uint8(1)).astype(jnp.int32),
+                    axis=0) for b in range(8)]               # 8 x [4W]
+    sums = jnp.stack(cols, axis=1).reshape(32 * W)           # g = byte*8+bit
     return sums[:n].astype(jnp.int64)
 
 

@@ -518,10 +518,17 @@ def _genome_anchor_body(packed, nmask, table_l, *, k, L, nbits, cap,
                      axis=-1, dtype=jnp.int32)
     popc = jax.lax.psum(popc_l, DICT_AXIS)             # replicated total
 
+    # per-genome presence totals for THIS shard's words (the host would
+    # otherwise unpackbits a dense [C, nbytes] chunk per drain — a
+    # multi-hundred-MB temp on the allocation-stall-prone sandbox)
+    from ..ops.anchor import _colsum_list
+
+    colsums_l = _colsum_list(rows_l, 32 * nwords_local)  # i64 [32*Wl]
+
     shifts = np.array([0, 8, 16, 24], np.uint32)
     by = ((rows_l[:, :, None] >> shifts[None, None, :]) & jnp.uint32(0xFF))
     by = by.astype(jnp.uint8).reshape(-1, 4 * nwords_local)
-    return by, popc
+    return by, popc, colsums_l
 
 
 def genome_sharded_anchor_chunk(mesh, gsd: GenomeShardedDict,
@@ -530,8 +537,10 @@ def genome_sharded_anchor_chunk(mesh, gsd: GenomeShardedDict,
 
     codes u8 [C + k - 1] (2-bit packed host-side, replicated to every
     device).  Returns (bytes u8 [S, C, 4*nwords_local] — per-shard genome
-    byte slices, popc i32 [C]).  Host assembly: hstack the S slices and
-    trim to ceil(ngenomes/8) columns."""
+    byte slices, popc i32 [C], colsums i64 [S, 32*nwords_local] —
+    per-shard genome presence totals).  Host assembly: hstack the byte
+    slices / concatenate the colsum slices and trim to the real genome
+    count."""
     from ..ops.codec import pack_bases_np
 
     n = mesh.devices.size
@@ -542,12 +551,13 @@ def genome_sharded_anchor_chunk(mesh, gsd: GenomeShardedDict,
     f = shard_map(
         body, mesh=mesh,
         in_specs=(P(), P(), P(DICT_AXIS)),
-        out_specs=(P(DICT_AXIS), P()),
+        out_specs=(P(DICT_AXIS), P(), P(DICT_AXIS)),
     )
     C = L - (gsd.k - 1)
-    by, popc = jax.jit(f)(jnp.asarray(packed), jnp.asarray(nmask),
-                          gsd.tables)
-    return by.reshape(n, C, 4 * gsd.nwords_local), popc
+    by, popc, colsums = jax.jit(f)(jnp.asarray(packed), jnp.asarray(nmask),
+                                   gsd.tables)
+    return (by.reshape(n, C, 4 * gsd.nwords_local), popc,
+            colsums.reshape(n * 32 * gsd.nwords_local))
 
 
 def assemble_genome_shards(by_shards: np.ndarray, nbytes: int) -> np.ndarray:

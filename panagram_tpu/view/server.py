@@ -487,7 +487,10 @@ class _Handler(BaseHTTPRequestHandler):
         except BrokenPipeError:
             pass
         except (KeyError, IndexError):
-            # malformed/unknown plot or api path, not a server fault
+            # usually a malformed/unknown plot or api path; a genuine
+            # render bug also lands here, so keep the diagnostic
+            # server-side while the client gets a 404
+            print(f"404 {self.path}\n{traceback.format_exc()}", flush=True)
             self._error("not found", 404)
         except Exception:
             self._error(traceback.format_exc())

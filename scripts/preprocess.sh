@@ -33,8 +33,8 @@ python -m panagram_tpu index "$outdir" -c "$cores"
 # relative GFF paths resolve against the samples.tsv directory exactly
 # like the indexer does (panagram_tpu/index.py init_config).
 tsv_dir=$(cd "$(dirname "$input")" && pwd)
-name_col=$(head -1 "$input" | tr '\t' '\n' | grep -nx name | cut -d: -f1)
-gff_col=$(head -1 "$input" | tr '\t' '\n' | grep -nx gff | cut -d: -f1)
+name_col=$(head -1 "$input" | tr '\t' '\n' | grep -nx name | cut -d: -f1 || true)
+gff_col=$(head -1 "$input" | tr '\t' '\n' | grep -nx gff | cut -d: -f1 || true)
 if [ -n "$gff_col" ]; then
     tail -n +2 "$input" | while IFS= read -r row; do
         name=$(printf '%s\n' "$row" | cut -f"$name_col")

@@ -196,13 +196,16 @@ def test_genome_sharded_dict_matches_oracle(setup):
 
     seq = seqs[3] + random_seq(rng, 150, n_frac=0.1)
     codes = seq_to_codes(seq)
-    by_shards, popc = genome_sharded_anchor_chunk(mesh, gsd, codes)
+    by_shards, popc, colsums = genome_sharded_anchor_chunk(mesh, gsd, codes)
 
     want = anchor_np(seq, K, d.keys, d.masks)
     nbytes = (ng + 7) // 8
     got = assemble_genome_shards(np.asarray(by_shards), nbytes)
     assert np.array_equal(got, masks_to_bytes_np(want, nbytes))
     assert np.array_equal(np.asarray(popc), popcount_np(want))
+    bits = np.unpackbits(want.astype("<u4").view(np.uint8), axis=1,
+                         bitorder="little")[:, :ng]
+    assert np.array_equal(np.asarray(colsums)[:ng], bits.sum(axis=0))
 
 
 def test_sharded_anchor_wide_masks_row_width():
