@@ -52,6 +52,14 @@ def _add_index(sub):
 
 
 def _run_index(args):
+    if args.mesh_strategy != "range" and not args.mesh:
+        raise SystemExit(
+            "--mesh-strategy requires --mesh N (it selects how the mesh "
+            "is sharded)")
+    if args.mesh and args.num_processes > 1:
+        raise SystemExit(
+            "--mesh (single-process multi-device) and --num-processes "
+            "(multi-host file-coordinated) are separate modes; pick one")
     from .pipeline import build_index
     from .index import Index
 

@@ -174,6 +174,12 @@ class DeviceDictBuilder:
             return
         parts = self._buf
         self._buf = []
+        # pad to a power of two with SENTINEL-only arrays so the union
+        # tree only ever sees (c,c), (2c,2c), ... shapes — a handful of
+        # compiled programs regardless of how many chunks a genome ends
+        # with (remote compiles cost 30-500 s on this rig)
+        while len(parts) & (len(parts) - 1):
+            parts.append(jnp.full(parts[0].shape[0], SENTINEL, jnp.uint64))
         while len(parts) > 1:
             nxt = []
             for i in range(0, len(parts) - 1, 2):
