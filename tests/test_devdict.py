@@ -79,3 +79,42 @@ def test_device_dict_long_sequence_multi_flush(rng):
     order = np.argsort(mixed)
     assert np.array_equal(d.keys, mixed[order])
     assert np.array_equal(d.masks, want_masks[order])
+
+
+def test_to_host_piece_streamed_prefix(rng, monkeypatch):
+    """With a capacity hint far above the real key count, to_host must ship
+    only the live prefix via the piece-sliced path and still reproduce the
+    oracle exactly."""
+    import panagram_tpu.ops.devdict as dd
+
+    monkeypatch.setattr(dd, "_D2H_PIECE", 128)
+    seqs = [random_seq(rng, 1500, n_frac=0.01) for _ in range(3)]
+    sets = [genome_kmer_set([s], K) for s in seqs]
+    want_keys, want_masks = build_dict_np(sets)
+
+    b = DeviceDictBuilder(K, 3, chunk=512, capacity_hint=1 << 14)
+    for gid, s in enumerate(seqs):
+        b.add_sequence(gid, seq_to_codes(s))
+    d = b.to_host()
+    assert 128 < len(d) < (1 << 14)   # multi-piece AND capacity overshoot
+    mixed = mix64_np(want_keys)
+    order = np.argsort(mixed)
+    assert np.array_equal(d.keys, mixed[order])
+    assert np.array_equal(d.masks, want_masks[order])
+
+
+def test_stream_rows_tail_clamp(monkeypatch):
+    """The last piece clamps its start so the slice shape stays static;
+    the overlapping rewrite must leave every prefix row correct."""
+    import jax.numpy as jnp
+
+    import panagram_tpu.ops.devdict as dd
+
+    monkeypatch.setattr(dd, "_D2H_PIECE", 128)
+    arr = jnp.arange(1000, dtype=jnp.uint32).reshape(500, 2)
+    got = dd._stream_rows(arr, 450)   # 450 > 500 - 128: tail piece clamps
+    assert np.array_equal(got, np.arange(900, dtype=np.uint32).reshape(450, 2))
+    # degenerate cases: full count, and capacity below one piece
+    assert np.array_equal(dd._stream_rows(arr, 500), np.asarray(arr))
+    small = jnp.arange(64, dtype=jnp.uint64)
+    assert np.array_equal(dd._stream_rows(small, 50), np.asarray(small)[:50])
