@@ -11,10 +11,13 @@ import os
 
 import numpy as np
 
+from ._build import ensure_built
+
 _DIR = os.path.dirname(os.path.realpath(__file__))
 _LIB_PATH = os.path.join(_DIR, "libbgzf_native.so")
 
-_lib = ctypes.CDLL(_LIB_PATH)  # raises OSError when not built
+ensure_built(_LIB_PATH)          # fresh checkouts: build before loading
+_lib = ctypes.CDLL(_LIB_PATH)    # raises OSError when not built
 
 _lib.bgzf_compress_block.restype = ctypes.c_int
 _lib.bgzf_compress_block.argtypes = [
