@@ -61,7 +61,10 @@ def main():
     ngenomes = 30
     seq_len = 1 << (20 if quick else 25)          # anchor sequence (bp)
     dict_genome_len = 1 << (18 if quick else 21)  # per-genome source length
-    chunk = 1 << (18 if quick else 22)
+    # chunk log2 override for dispatch-latency experiments (the tunnel's
+    # slow window adds per-call cost that larger chunks amortize)
+    chunk = 1 << int(os.environ.get("PANAGRAM_TPU_BENCH_CHUNK_LOG2",
+                                    18 if quick else 22))
 
     rng = np.random.default_rng(0)
     _log(f"bench: devices={jax.devices()} quick={quick}")
@@ -110,6 +113,24 @@ def main():
 
     capacity = chunk   # v3 count <= positions: RLE overflow unreachable
 
+    # run-count hint PERSISTS across reps: with PIPELINE_DEPTH chunks in
+    # flight, every dispatch before the first drain would otherwise fall
+    # back to the hint=None total//8 prefix — measured 25-60% d2h
+    # over-transfer, which is the whole wall when the tunnel is in its
+    # slow (~8 MB/s) window.  The warmup rep establishes the real count;
+    # timed reps then ship ~12% over it.
+    state = {"total": 0, "hint": None}
+
+    # persistent decode buffers: fresh ~17 MB allocations per chunk
+    # intermittently stall >1 s on sandbox page faults (measured 12 ms
+    # reused vs 1.3 s fresh); fill() commits the pages once
+    out_b = np.empty((chunk, nbytes), np.uint8)
+    out_p = np.empty(chunk, np.int32)
+    rle_buf = np.empty((capacity + 2, rle_row_bytes(nbytes)), np.uint8)
+    out_b.fill(0)
+    out_p.fill(0)
+    rle_buf.fill(0)
+
     def run_once():
         nk = seq_len - k + 1
         buf = np.full(chunk + k - 1, 255, np.uint8)
@@ -121,17 +142,7 @@ def main():
         # normally performs zero synchronous round trips
         trace = os.environ.get("PANAGRAM_BENCH_TRACE") == "1"
         pending = []
-        state = {"total": 0, "hint": None}
-
-        # persistent decode buffers: fresh ~17 MB allocations per chunk
-        # intermittently stall >1 s on sandbox page faults (measured 12 ms
-        # reused vs 1.3 s fresh); fill() commits the pages once
-        out_b = np.empty((chunk, nbytes), np.uint8)
-        out_p = np.empty(chunk, np.int32)
-        rle_buf = np.empty((capacity + 2, rle_row_bytes(nbytes)), np.uint8)
-        out_b.fill(0)
-        out_p.fill(0)
-        rle_buf.fill(0)
+        state["total"] = 0
 
         def drain():
             t0 = time.perf_counter()
