@@ -10,6 +10,7 @@ histograms are fused reductions over the same pass.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -270,7 +271,10 @@ def rle2_colsums(data_rows: np.ndarray, count: int, total: int,
 
 
 _PIECE = 1 << 16       # rows per transfer piece (one cached slice program)
-PIPELINE_DEPTH = 4     # chunks dispatched ahead of the drain point
+# chunks dispatched ahead of the drain point: deeper pipelines hide more
+# d2h behind compute when the link is slow, at ~rle-buffer host memory per
+# in-flight chunk (env-tunable for link-bound deployments)
+PIPELINE_DEPTH = int(os.environ.get("PANAGRAM_TPU_PIPELINE_DEPTH", "4"))
 _piece_fns: dict = {}
 
 
