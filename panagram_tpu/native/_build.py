@@ -6,27 +6,59 @@ baseline (inflating vs_baseline) and BGZF writes would lose the threaded
 compressor.  One `make` invocation per process, best-effort — the loader
 still raises OSError if the toolchain is absent, and every caller already
 degrades gracefully on that.
+
+Concurrency: multiple first imports (the multi-process build driver,
+parallel pytest) may race here, and a process must never dlopen a
+half-written .so — the make invocation is serialised through an fcntl
+lockfile and the target is re-checked after the lock drops.
 """
 
 from __future__ import annotations
 
 import os
 import subprocess
+import sys
 
 _DIR = os.path.dirname(os.path.realpath(__file__))
-_tried = False
+_tried: set = set()
+
+
+def _run_make(target: str) -> None:
+    """Build one target under an exclusive lockfile; warn on failure
+    instead of silently degrading to the pure-Python fallback."""
+    lock_path = os.path.join(_DIR, ".build.lock")
+    with open(lock_path, "w") as lock:
+        try:
+            import fcntl
+
+            fcntl.flock(lock, fcntl.LOCK_EX)
+        except (ImportError, OSError):
+            pass
+        if os.path.exists(os.path.join(_DIR, target)):
+            return  # another process built it while we waited
+        result = subprocess.run(
+            ["make", "-C", _DIR, target],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            timeout=120)
+        if result.returncode != 0:
+            tail = result.stdout.decode("utf-8", "replace").strip()
+            tail = tail[-500:] if tail else "(no output)"
+            print(f"panagram_tpu: make {target} failed "
+                  f"(rc={result.returncode}); falling back to pure "
+                  f"Python.\n{tail}", file=sys.stderr)
 
 
 def ensure_built(lib_path: str) -> None:
-    """Run `make` in this directory once per process if lib_path is
-    missing; quiet no-op when the library exists or make is unavailable."""
-    global _tried
-    if os.path.exists(lib_path) or _tried:
+    """Build lib_path's make target once per process if the library is
+    missing; quiet no-op when it exists or the toolchain is absent.
+    Builds only the requested target so one broken target (e.g. missing
+    zlib headers) cannot block an independent one."""
+    target = os.path.basename(lib_path)
+    if os.path.exists(lib_path) or target in _tried:
         return
-    _tried = True
+    _tried.add(target)
     try:
-        subprocess.run(["make", "-C", _DIR], check=False,
-                       stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-                       timeout=120)
-    except (OSError, subprocess.TimeoutExpired):
-        pass
+        _run_make(target)
+    except (OSError, subprocess.TimeoutExpired) as e:
+        print(f"panagram_tpu: could not build {target} ({e}); "
+              "falling back to pure Python.", file=sys.stderr)

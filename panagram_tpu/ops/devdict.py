@@ -125,10 +125,12 @@ def _stream_rows(arr: jax.Array, count: int) -> np.ndarray:
     45 MB/s on this rig's tunnel).  Instead the live prefix streams in
     fixed-size dynamic-slice pieces (clamped at the tail so shapes stay
     static), queued async so the pieces pipeline on the link."""
+    from collections import deque
+
     cap = arr.shape[0]
     if count >= cap or cap <= _D2H_PIECE:
         return np.asarray(arr)[:count]
-    pieces = []
+    pieces: deque = deque()
     for s in range(0, count, _D2H_PIECE):
         start = min(s, cap - _D2H_PIECE)
         p = _piece_slice(arr, start, _D2H_PIECE)
@@ -138,9 +140,14 @@ def _stream_rows(arr: jax.Array, count: int) -> np.ndarray:
             pass
         pieces.append((start, p))
     out = np.empty((count,) + arr.shape[1:], arr.dtype)
-    for start, p in pieces:
+    # drain FIFO, dropping each device piece as soon as it lands on host
+    # so HBM frees while later pieces are still in flight (holding the
+    # whole list would transiently double the live prefix in HBM)
+    while pieces:
+        start, p = pieces.popleft()
         end = min(start + _D2H_PIECE, count)
         out[start:end] = np.asarray(p)[: end - start]
+        del p
     return out
 
 
