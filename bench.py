@@ -43,18 +43,8 @@ def main():
 
     import panagram_tpu  # noqa: F401  (x64 on)
     import jax
-    import jax.numpy as jnp
 
-    from panagram_tpu.ops.anchor import (
-        PIPELINE_DEPTH,
-        anchor_chunk_rle2,
-        pack_bases_combined,
-        collect_rle2,
-        dispatch_rle_prefix,
-        rle_row_bytes,
-        unpack_rle2,
-    )
-    from panagram_tpu.ops.codec import pack_bases_np
+    from panagram_tpu.ops.anchor import rle_proto, stream_anchor_chunks
     from panagram_tpu.ops.lookup import BucketedDict
 
     k = 21
@@ -111,77 +101,28 @@ def main():
     reps = -(-seq_len // dict_genome_len)
     anchor_codes = np.tile(genomes[0], reps)[:seq_len]
 
-    capacity = chunk   # v3 count <= positions: RLE overflow unreachable
+    _log(f"bench: rle protocol v{rle_proto(nbytes)}")
 
-    # run-count hint PERSISTS across reps: with PIPELINE_DEPTH chunks in
-    # flight, every dispatch before the first drain would otherwise fall
-    # back to the hint=None total//8 prefix — measured 25-60% d2h
-    # over-transfer, which is the whole wall when the tunnel is in its
-    # slow (~8 MB/s) window.  The warmup rep establishes the real count;
-    # timed reps then ship ~12% over it.
-    state = {"total": 0, "hint": None}
-
-    # persistent decode buffers: fresh ~17 MB allocations per chunk
-    # intermittently stall >1 s on sandbox page faults (measured 12 ms
-    # reused vs 1.3 s fresh); fill() commits the pages once
-    out_b = np.empty((chunk, nbytes), np.uint8)
-    out_p = np.empty(chunk, np.int32)
-    rle_buf = np.empty((capacity + 2, rle_row_bytes(nbytes)), np.uint8)
-    out_b.fill(0)
-    out_p.fill(0)
-    rle_buf.fill(0)
+    # run-count/palette hints PERSIST across reps (in `state`): with
+    # PIPELINE_DEPTH chunks in flight, every dispatch before the first
+    # drain would otherwise fall back to the hint=None total//8 prefix —
+    # measured 25-60% d2h over-transfer, which is the whole wall when the
+    # tunnel is in its slow (~8 MB/s) window.  The warmup rep establishes
+    # the real count; timed reps then ship ~12% over it.
+    state = {}
+    trace = os.environ.get("PANAGRAM_BENCH_TRACE") == "1"
+    buf = np.full(chunk + k - 1, 255, np.uint8)
 
     def run_once():
-        nk = seq_len - k + 1
-        buf = np.full(chunk + k - 1, 255, np.uint8)
-        # bounded dispatch-ahead pipeline (mirrors Genome._device_chunk_
-        # results): device compute and the ASYNC prefix d2h copies of up
-        # to PIPELINE_DEPTH chunks overlap with host packing + decode; the
-        # run count rides in the output header and each drained chunk's
-        # count sizes later chunks' speculative prefixes — the drain loop
-        # normally performs zero synchronous round trips
-        trace = os.environ.get("PANAGRAM_BENCH_TRACE") == "1"
-        pending = []
-        state["total"] = 0
-
-        def drain():
-            t0 = time.perf_counter()
-            m, L, combined, prefix = pending.pop(0)
-            P = L - k + 1
-            data_rows, count = collect_rle2(prefix, combined, out=rle_buf)
-            t1 = time.perf_counter()
-            assert data_rows is not None, "rle capacity overflow in bench"
-            state["hint"] = count
-            by, popc = unpack_rle2(data_rows, count, P, nbytes,
-                                   out=(out_b[:P], out_p[:P]))
-            by = by[:m]
-            popc = popc[:m]
-            if trace:
-                _log(f"  drain: count={count} pieces={len(prefix)} "
-                     f"collect={1e3*(t1-t0):.0f}ms "
-                     f"decode={1e3*(time.perf_counter()-t1):.0f}ms")
-            state["total"] += m
-
-        for start in range(0, nk, chunk):
-            t0 = time.perf_counter()
-            m = min(chunk, nk - start)
-            buf[:] = 255
-            buf[: m + k - 1] = anchor_codes[start : start + m + k - 1]
-            inbuf, L = pack_bases_combined(buf)
-            ib = jnp.asarray(inbuf)
-            combined = anchor_chunk_rle2(
-                ib, t1, L, k, bd.nbits, bd.cap,
-                bd.nwords, nbytes, capacity,
-            )
-            prefix = dispatch_rle_prefix(combined, state["hint"])
-            pending.append((m, L, combined, prefix))
-            if trace:
-                _log(f"  dispatch: {1e3*(time.perf_counter()-t0):.0f}ms")
-            if len(pending) >= PIPELINE_DEPTH:
-                drain()
-        while pending:
-            drain()
-        return state["total"]
+        # the exact product engine (Genome.run_anchor drives the same
+        # generator): bounded dispatch-ahead pipeline with async prefix
+        # d2h pieces sized by the observed counts
+        total = 0
+        for _start, m, _by, _popc, _cs in stream_anchor_chunks(
+                anchor_codes, seq_len - k + 1, chunk, buf, t1, bd,
+                nbytes, ngenomes, k, state=state, trace=trace):
+            total += m
+        return total
 
     run_once()  # compile + warm
     _log("bench: warmup done")
@@ -192,16 +133,13 @@ def main():
     from panagram_tpu.ops.ref_impl import anchor_np, masks_to_bytes_np
 
     p_n = min(1 << 17, seq_len - k + 1)
-    buf = np.full(chunk + k - 1, 255, np.uint8)
-    buf[: p_n + k - 1] = anchor_codes[: p_n + k - 1]
-    inbuf, L = pack_bases_combined(buf)
-    combined = anchor_chunk_rle2(
-        jnp.asarray(inbuf), t1, L, k, bd.nbits, bd.cap,
-        bd.nwords, nbytes, capacity)
-    data_rows, cnt = collect_rle2(dispatch_rle_prefix(combined), combined)
-    by, _ = unpack_rle2(data_rows, cnt, L - k + 1, nbytes)
+    got = np.concatenate([by.copy() for _s, _m, by, _p, _c in
+                          stream_anchor_chunks(
+                              anchor_codes[: p_n + k - 1], p_n, chunk, buf,
+                              t1, bd, nbytes, ngenomes, k,
+                              state=dict(state))])
     want = anchor_np(anchor_codes[: p_n + k - 1], k, d.keys, d.masks)
-    assert np.array_equal(by[:p_n], masks_to_bytes_np(want, nbytes)), \
+    assert np.array_equal(got, masks_to_bytes_np(want, nbytes)), \
         "device/oracle bitmap mismatch"
     _log("bench: device parity vs oracle OK")
     # best-of-3: this host is shared and noisy (identical host-side decode

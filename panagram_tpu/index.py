@@ -695,97 +695,16 @@ class Genome:
         RLE kernel asynchronously, then drain in order.  Yields
         (start, m, bitmap bytes [m, nbytes], popc i32 [m], colsums [N]).
 
-        `state` (a dict) carries the observed run-count hint across
-        chromosomes so only the very first chunks of a genome pay the
-        full-buffer speculative transfer."""
-        import jax.numpy as jnp
+        `state` (a dict) carries the observed run-count/palette hints
+        across chromosomes so only the very first chunks of a genome pay
+        the full-buffer speculative transfer.  The loop itself lives in
+        ops.anchor.stream_anchor_chunks (shared with bench.py, so the
+        benchmark measures the exact product path)."""
+        from .ops.anchor import stream_anchor_chunks
 
-        from .ops.anchor import (
-            PIPELINE_DEPTH,
-            anchor_chunk_fast,
-            anchor_chunk_rle2,
-            collect_rle2,
-            dispatch_rle_prefix,
-            pack_bases_combined,
-            rle2_colsums,
-            rle_row_bytes,
-            unpack_rle2,
-        )
-
-        k = self.index.k
-        N = self.ngenomes
-        nbytes = self.nbytes
-        # capacity = chunk can never overflow (every v3 row consumes >= 1
-        # position), so the dense fallback is unreachable at the default;
-        # transfers are sized by the observed count, so the only cost is
-        # ~5 B/position of device+host buffer.  The parameter exists for
-        # the fallback's own test coverage.
-        if capacity is None:
-            capacity = chunk
-
-        # bounded dispatch-ahead pipeline: device compute and the async
-        # prefix d2h copies of up to PIPELINE_DEPTH chunks overlap with
-        # host decode of earlier ones, and each drained chunk's observed
-        # run count sizes later chunks' speculative prefixes
-        pending = []
-        if state is None:
-            state = {}
-        hint = state.get("hint")
-
-        # persistent decode buffers: a fresh ~17 MB allocation per chunk
-        # intermittently stalls >1 s on sandbox page faults (measured;
-        # see rle_expand_native) — fill() commits the pages once.  Safe
-        # to reuse: the consumer (run_anchor) fully processes each
-        # yielded chunk before the generator drains the next.
-        out_b = np.empty((chunk, nbytes), np.uint8)
-        out_p = np.empty(chunk, np.int32)
-        rle_buf = np.empty((capacity + 2, rle_row_bytes(nbytes)), np.uint8)
-        out_b.fill(0)
-        out_p.fill(0)
-        rle_buf.fill(0)
-
-        def _drain():
-            nonlocal hint
-            start, m, L, inbuf, combined, prefix = pending.pop(0)
-            P = L - k + 1
-            # the dispatched async pieces resolve the run count (row-0
-            # header) and, typically, every data row
-            data_rows, count = collect_rle2(prefix, combined, out=rle_buf)
-            if data_rows is None:       # RLE overflow: dense fallback
-                by_d, popc_d, colsums_d = anchor_chunk_fast(
-                    jnp.asarray(inbuf[: (L + 3) // 4]),
-                    jnp.asarray(inbuf[(L + 3) // 4 :]),
-                    t1, L, k, bd.nbits, bd.cap,
-                    bd.nwords, nbytes,
-                )
-                by = np.asarray(by_d)[:m]
-                popc_np = np.asarray(popc_d)[:m].astype(np.int32)
-                chunk_colsums = np.asarray(colsums_d)[:N]
-            else:
-                hint = state["hint"] = count
-                by, popc_np = unpack_rle2(data_rows, count, P, nbytes,
-                                          out=(out_b[:P], out_p[:P]))
-                by = by[:m]
-                popc_np = popc_np[:m]
-                chunk_colsums = rle2_colsums(data_rows, count, P, N)
-            return start, m, by, popc_np, chunk_colsums
-
-        for start in range(0, nkmers, chunk):
-            m = min(chunk, nkmers - start)
-            buf[:] = 255
-            buf[: m + k - 1] = codes[start : start + m + k - 1]
-            inbuf, L = pack_bases_combined(buf)
-            combined = anchor_chunk_rle2(
-                jnp.asarray(inbuf), t1, L, k, bd.nbits,
-                bd.cap, bd.nwords, nbytes, capacity,
-            )
-            prefix = dispatch_rle_prefix(combined, hint)
-            pending.append((start, m, L, inbuf, combined, prefix))
-            if len(pending) >= PIPELINE_DEPTH:
-                yield _drain()
-
-        while pending:
-            yield _drain()
+        yield from stream_anchor_chunks(
+            codes, nkmers, chunk, buf, t1, bd, self.nbytes, self.ngenomes,
+            self.index.k, state=state, capacity=capacity)
 
     def _mesh_chunk_results(self, mesh, sharded, codes, nkmers, chunk):
         """Distributed chunk engine (parallel/shard.py): each chunk is

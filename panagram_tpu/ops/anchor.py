@@ -11,6 +11,7 @@ histograms are fused reductions over the same pass.
 from __future__ import annotations
 
 import os
+import sys
 from functools import partial
 
 import jax
@@ -133,6 +134,34 @@ def rle_row_bytes(nbytes: int) -> int:
     return max(1 + nbytes, 4)
 
 
+def _run_structure(rows: jax.Array):
+    """Shared run decomposition for the RLE protocols: mask rows u32
+    [P, W] -> (change bool [P], pos i32 [P] (run index per position),
+    count i32 (total runs), delta u8 [P] (gap to the previous run start,
+    valid at change positions)).
+
+    A "run" starts wherever the mask row differs from the previous
+    position, plus injected continuation rows every 255 positions inside
+    long runs (same mask, delta 255) so every gap fits u8; the worst
+    case adds P/255 rows."""
+    P = rows.shape[0]
+    change0 = jnp.concatenate([
+        jnp.ones(1, bool), jnp.any(rows[1:] != rows[:-1], axis=1)
+    ])
+    iota = jnp.arange(P, dtype=jnp.int32)
+    # distance from the last REAL change; continuation rows at every
+    # multiple of 255 keep all gaps <= 255
+    last0 = jax.lax.cummax(jnp.where(change0, iota, -1))
+    dist = iota - last0
+    change = change0 | ((dist > 0) & (dist % 255 == 0))
+    pos = jnp.cumsum(change.astype(jnp.int32)) - 1
+    count = pos[-1] + 1
+    lastrun = jax.lax.cummax(jnp.where(change, iota, -1))
+    prev = jnp.concatenate([jnp.zeros(1, jnp.int32), lastrun[:-1]])
+    delta = jnp.where(iota == 0, 0, iota - prev).astype(jnp.uint8)
+    return change, pos, count, delta
+
+
 def rle_payload(rows: jax.Array, nbytes: int, capacity: int):
     """Shared RLE compaction (protocol v3): mask rows u32 [P, W] ->
     (out u8 [capacity + 1, rle_row_bytes(nbytes)], count i32).
@@ -142,30 +171,15 @@ def rle_payload(rows: jax.Array, nbytes: int, capacity: int):
     delta 0), so host decode is a u8 cumsum — 2 fewer bytes per row than
     an absolute u24 position, and d2h volume is the steady-state wall on
     this rig.  Runs longer than 255 positions carry injected continuation
-    rows (same mask, delta 255) so every gap fits u8; the worst case adds
-    P/255 rows.  Popcounts and per-genome totals are host-derived from
-    the mask bytes (unpack_rle2 / rle2_colsums), so the device ships only
-    what cannot be recomputed.  Rows past `capacity` are dropped into the
-    final trash row; `count` always reports the true (v3) row count so
-    the caller can detect overflow."""
+    rows (see _run_structure).  Popcounts and per-genome totals are
+    host-derived from the mask bytes (unpack_rle2 / rle2_colsums), so the
+    device ships only what cannot be recomputed.  Rows past `capacity`
+    are dropped into the final trash row; `count` always reports the true
+    row count so the caller can detect overflow."""
     P = rows.shape[0]
     by = masks_to_bytes(rows)[:, :nbytes]
-    change0 = jnp.concatenate([
-        jnp.ones(1, bool), jnp.any(rows[1:] != rows[:-1], axis=1)
-    ])
-    iota = jnp.arange(P, dtype=jnp.int32)
-    # distance from the last REAL change; continuation rows at every
-    # multiple of 255 keep all v3 gaps <= 255
-    last0 = jax.lax.cummax(jnp.where(change0, iota, -1))
-    dist = iota - last0
-    change = change0 | ((dist > 0) & (dist % 255 == 0))
-    pos = jnp.cumsum(change.astype(jnp.int32)) - 1
-    count = pos[-1] + 1
+    change, pos, count, delta = _run_structure(rows)
     slots = jnp.where(change & (pos < capacity), pos, capacity)
-
-    lastv3 = jax.lax.cummax(jnp.where(change, iota, -1))
-    prev = jnp.concatenate([jnp.zeros(1, jnp.int32), lastv3[:-1]])
-    delta = jnp.where(iota == 0, 0, iota - prev).astype(jnp.uint8)
 
     rowb = rle_row_bytes(nbytes)
     parts = [delta[:, None], by]
@@ -218,6 +232,126 @@ def pack_bases_combined(codes: np.ndarray):
 
     packed, nmask, L = pack_bases_np(codes)
     return np.concatenate([packed, nmask]), L
+
+
+# ---------------------------------------------------------------------------
+# RLE protocol v4: palette-coded data rows.
+#
+# v3 ships [delta u8 | nbytes mask bytes] per run — 5 B/run at 30 genomes,
+# 14 B/run at 100.  Real pan-genome bitmaps draw their rows from a SMALL set
+# of distinct masks (haplotype structure), so v4 ships each chunk's distinct
+# masks once (the palette) and references them with a u16 index:
+#
+#   data buffer u8 [capacity + 1, 3]:  rows [delta u8 | palette idx u16 LE]
+#   palette buffer u8 [PAL_CAP + 3, 4W]:
+#       row 0: run count (u32 LE)        row 1: palette size U (u32 LE)
+#       rows 2..2+U: palette entries (little-endian mask bytes)
+#
+# 3 B/run + U*4W bytes — a 40% d2h cut at 30 genomes and ~4.7x at 100, on a
+# rig whose d2h link is the measured steady-state wall (ROUND2_NOTES.md).
+# The palette is built on device from the run rows only (a pal_work-sized
+# prefix, not the full chunk): sort runs by mask value, group-change flags
+# -> palette ids, one inverse sort back to run order.  Overflow (run count
+# > pal_work, or U > PAL_CAP) is signalled through the header and the
+# caller falls back to the dense path — both need adversarially diverse
+# masks that real pangenomes don't produce.
+# ---------------------------------------------------------------------------
+
+PAL_CAP = 1 << 16          # u16 index space
+_PAL_PIECE = 1 << 12       # palette-buffer transfer piece (rows)
+
+
+def pal_work_for(capacity: int) -> int:
+    """Palette working-prefix size: how many leading runs participate in
+    palette construction (beyond it the chunk falls back dense).  A
+    quarter of the chunk gives ~3x headroom over observed run densities
+    while keeping the two palette sorts ~4x cheaper than chunk-sized
+    ones."""
+    env = os.environ.get("PANAGRAM_TPU_PAL_WORK_LOG2")
+    if env:
+        return min(1 << int(env), capacity)
+    return max(capacity >> 2, min(capacity, PAL_CAP))
+
+
+def rle4_payload(rows: jax.Array, nbytes: int, capacity: int, pal_work: int):
+    """Protocol-v4 compaction: mask rows u32 [P, W] ->
+    (data u8 [capacity + 1, 3], pal u8 [PAL_CAP + 3, 4W]).  See the
+    protocol comment above for the layout."""
+    P, W = rows.shape
+    change, pos, count, delta = _run_structure(rows)
+
+    # delta column of the data buffer (trash slot at `capacity`)
+    slots_d = jnp.where(change & (pos < capacity), pos, capacity)
+    delta_col = jnp.zeros(capacity + 1, jnp.uint8).at[slots_d].set(
+        delta, mode="drop")
+
+    # run mask rows, compacted into the pal_work prefix (trash at pal_work)
+    slots_p = jnp.where(change & (pos < pal_work), pos, pal_work)
+    rmask = jnp.zeros((pal_work + 1, W), jnp.uint32).at[slots_p].set(
+        rows, mode="drop")
+
+    # palette grouping: sort runs by (validity, mask words) carrying the
+    # run index; valid runs sort first, equal masks group together
+    run_iota = jnp.arange(pal_work + 1, dtype=jnp.int32)
+    valid = run_iota < jnp.minimum(count, pal_work)
+    inv = (~valid).astype(jnp.uint32)
+    srt = jax.lax.sort(
+        (inv,) + tuple(rmask[:, w] for w in range(W)) + (run_iota,),
+        num_keys=1 + W)
+    vs = srt[0] == 0
+    ms = srt[1 : 1 + W]
+    io_s = srt[1 + W]
+    diff = jnp.zeros(pal_work, bool)
+    for m in ms:
+        diff = diff | (m[1:] != m[:-1])
+    chg = vs & jnp.concatenate([jnp.ones(1, bool), diff])
+    gid = jnp.cumsum(chg.astype(jnp.int32)) - 1
+    U = gid[-1] + 1      # >= 1: run 0 always exists and starts a group
+
+    # palette table: every member of a group writes the SAME value, so
+    # duplicate scatter indices are deterministic in value
+    gidc = jnp.where(vs, jnp.minimum(gid, PAL_CAP), PAL_CAP)
+    palw = jnp.zeros((PAL_CAP + 1, W), jnp.uint32).at[gidc].set(
+        jnp.stack(ms, axis=1), mode="drop")
+
+    # inverse permutation: sort (run index, gid) back to run order (a
+    # gather would reintroduce the issue-rate wall)
+    inv_srt = jax.lax.sort((io_s, gidc), num_keys=1)
+    idx16 = inv_srt[1]
+    idx_lo = (idx16 & 0xFF).astype(jnp.uint8)
+    idx_hi = ((idx16 >> 8) & 0xFF).astype(jnp.uint8)
+    pad = capacity + 1 - (pal_work + 1)
+    if pad > 0:
+        z = jnp.zeros(pad, jnp.uint8)
+        idx_lo = jnp.concatenate([idx_lo, z])
+        idx_hi = jnp.concatenate([idx_hi, z])
+    data = jnp.stack([delta_col, idx_lo[: capacity + 1],
+                      idx_hi[: capacity + 1]], axis=1)
+
+    cshift = np.array([0, 8, 16, 24], np.uint32)
+    hdr_vals = jnp.stack([count.astype(jnp.uint32), U.astype(jnp.uint32)])
+    hdr = jnp.zeros((2, 4 * W), jnp.uint8).at[:, :4].set(
+        ((hdr_vals[:, None] >> cshift[None, :]) & 0xFF).astype(jnp.uint8))
+    pal = jnp.concatenate([hdr, masks_to_bytes(palw)], axis=0)
+    return data, pal
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
+def anchor_chunk_rle4(inbuf: jax.Array, table: jax.Array,
+                      L: int, k: int, nbits: int, cap: int,
+                      nwords: int, nbytes: int, capacity: int,
+                      pal_work: int):
+    """Palette-protocol twin of anchor_chunk_rle2: ONE u8 input buffer ->
+    (data u8 [capacity + 1, 3], pal u8 [PAL_CAP + 3, 4W]).  Host side:
+    dispatch_rle4_prefix -> collect_rle4 -> unpack_rle4."""
+    from .codec import pack_kmers_packed
+
+    n4 = (L + 3) // 4
+    packed = jax.lax.slice(inbuf, (0,), (n4,))
+    nmask = jax.lax.slice(inbuf, (n4,), (inbuf.shape[0],))
+    canon, _ = pack_kmers_packed(packed, nmask, L, k)
+    rows = _query(canon, table, nbits, cap, nwords)
+    return rle4_payload(rows, nbytes, capacity, pal_work)
 
 
 try:  # native memcpy decoder (faster than np.repeat); optional build
@@ -278,7 +412,7 @@ PIPELINE_DEPTH = int(os.environ.get("PANAGRAM_TPU_PIPELINE_DEPTH", "4"))
 _piece_fns: dict = {}
 
 
-def _piece_dev(combined: jax.Array, start: int):
+def _piece_dev(combined: jax.Array, start: int, piece_rows: int = _PIECE):
     """Device dynamic-slice of one fixed-size piece, via ONE cached
     program per buffer shape (a static slice per observed count would
     recompile; remote compiles cost 30-500 s on this rig).  Returns
@@ -286,7 +420,7 @@ def _piece_dev(combined: jax.Array, start: int):
     import jax as _jax
 
     rows, rowb = combined.shape
-    piece = min(_PIECE, rows)
+    piece = min(piece_rows, rows)
     key = (rows, rowb, str(combined.dtype), piece)
     fn = _piece_fns.get(key)
     if fn is None:
@@ -296,6 +430,57 @@ def _piece_dev(combined: jax.Array, start: int):
         fn = _jax.jit(_slice)
         _piece_fns[key] = fn
     return fn(combined, jnp.int32(start)), piece
+
+
+def _dispatch_prefix(combined: jax.Array, target: int, piece_rows: int):
+    """Queue async d2h copies of the first `target` rows in fixed-size
+    pieces; returns the piece list [(start, device array)]."""
+    total = combined.shape[0]
+    target = min(target, total)
+    pieces = []
+    s = 0
+    while s < target:
+        piece_len = min(piece_rows, total)
+        sa = min(s, total - piece_len)
+        arr, piece_len = _piece_dev(combined, sa, piece_rows)
+        try:
+            arr.copy_to_host_async()
+        except Exception:  # pragma: no cover - backend without async copies
+            pass
+        pieces.append((sa, arr))
+        s = sa + piece_len
+    return pieces
+
+
+def _fetch_rows(pieces, combined: jax.Array, need: int, buf: np.ndarray,
+                piece_rows: int = _PIECE) -> np.ndarray:
+    """Assemble the first `need` rows from dispatched pieces into `buf`,
+    fetching any uncovered tail synchronously through the same cached
+    slice programs.  Returns buf[:need] (or a single piece's view when it
+    already covers the read — no copy)."""
+    total_rows = combined.shape[0]
+    first_np = np.asarray(pieces[0][1])
+    if pieces[0][0] == 0 and need <= first_np.shape[0]:
+        return first_np[:need]
+    assert buf.shape[0] >= need and buf.shape[1] == combined.shape[1]
+    covered = 0
+    for sa, arr in pieces:
+        if covered >= need:
+            break
+        a = np.asarray(arr)
+        hi = min(sa + a.shape[0], need)
+        if hi > covered:
+            buf[covered:hi] = a[covered - sa: hi - sa]
+            covered = hi
+    while covered < need:                 # speculative read fell short
+        piece_len = min(piece_rows, total_rows)
+        sa = min(covered, total_rows - piece_len)
+        arr, piece_len = _piece_dev(combined, sa, piece_rows)
+        part = np.asarray(arr)
+        hi = min(sa + piece_len, need)
+        buf[covered:hi] = part[covered - sa: hi - sa]
+        covered = hi
+    return buf[:need]
 
 
 def dispatch_rle_prefix(combined: jax.Array, hint: int | None = None):
@@ -373,6 +558,211 @@ def collect_rle2(pieces, combined: jax.Array, out: np.ndarray | None = None):
         buf[covered:hi] = part[covered - sa: hi - sa]
         covered = hi
     return buf[1:need], count
+
+
+def dispatch_rle4_prefix(data: jax.Array, pal: jax.Array,
+                         hint: int | None = None,
+                         pal_hint: int | None = None):
+    """v4 twin of dispatch_rle_prefix: queue async prefix copies of BOTH
+    output buffers right after the kernel dispatch.  The run count and
+    palette size ride in the palette buffer's first (small) piece, so the
+    drain normally needs zero synchronous round trips.  Returns
+    (data pieces, pal pieces) for collect_rle4."""
+    total = data.shape[0]
+    if hint is None:
+        target = max(total // 8, min(total, _PIECE))
+    else:
+        target = min(hint + (hint >> 3) + 2, total)
+    dp = _dispatch_prefix(data, target, _PIECE)
+    if pal_hint is None:
+        ptarget = _PAL_PIECE
+    else:
+        ptarget = 2 + pal_hint + (pal_hint >> 2) + 16
+    pp = _dispatch_prefix(pal, ptarget, _PAL_PIECE)
+    return dp, pp
+
+
+def collect_rle4(prefix, data: jax.Array, pal: jax.Array, pal_work: int,
+                 out: np.ndarray | None = None,
+                 pal_out: np.ndarray | None = None):
+    """Host-side collection of an anchor_chunk_rle4 result.
+
+    Returns (data_rows u8 [count, 3], pal_bytes u8 [U, 4W], count, U);
+    data_rows/pal_bytes are None on overflow (count > pal_work/capacity
+    or U > PAL_CAP) — the caller re-runs the chunk densely.  `out` /
+    `pal_out` reuse caller buffers (fresh multi-MB allocations stall on
+    sandbox page faults; see rle_expand_native)."""
+    dp, pp = prefix
+    first = np.asarray(pp[0][1])
+    count = int(first[0, :4].copy().view("<u4")[0])
+    U = int(first[1, :4].copy().view("<u4")[0])
+    capacity = data.shape[0] - 1
+    if count > pal_work or count > capacity or U > PAL_CAP:
+        return None, None, count, U
+    if pal_out is None:
+        pal_out = np.empty((2 + U, pal.shape[1]), np.uint8)
+    pal_rows = _fetch_rows(pp, pal, 2 + U, pal_out, _PAL_PIECE)
+    if out is None:
+        out = np.empty((max(count, 1), 3), np.uint8)
+    data_rows = _fetch_rows(dp, data, count, out, _PIECE)
+    return data_rows, pal_rows[2: 2 + U], count, U
+
+
+def unpack_rle4(data_rows: np.ndarray, pal_bytes: np.ndarray, count: int,
+                total: int, nbytes: int, out=None, tmp=None):
+    """Decode v4 rows: reconstruct v3-layout rows ([delta | mask bytes])
+    from the palette on the host — a count*(1+nbytes) byte copy — and
+    reuse the v3 decoder (including its native memcpy expander).  Returns
+    (bytes [total, nbytes], popc i32 [total], v3rows [count, rowb]); feed
+    v3rows to rle2_colsums for the per-genome totals."""
+    rowb = rle_row_bytes(nbytes)
+    t = tmp if tmp is not None else np.empty((max(count, 1), rowb), np.uint8)
+    t = t[:count]
+    idx = data_rows[:count, 1].astype(np.int32) \
+        | (data_rows[:count, 2].astype(np.int32) << 8)
+    t[:, 0] = data_rows[:count, 0]
+    t[:, 1: 1 + nbytes] = pal_bytes[idx][:, :nbytes]
+    by, popc = unpack_rle2(t, count, total, nbytes, out=out)
+    return by, popc, t
+
+
+def rle_proto(nbytes: int) -> int:
+    """Transfer-protocol choice: v4 (palette) pays off once mask rows are
+    wider than its 3-byte data rows; PANAGRAM_TPU_RLE_PROTO=3|4
+    overrides."""
+    env = os.environ.get("PANAGRAM_TPU_RLE_PROTO")
+    if env:
+        return int(env)
+    return 4 if nbytes >= 3 else 3
+
+
+def stream_anchor_chunks(codes: np.ndarray, nkmers: int, chunk: int,
+                         buf: np.ndarray, table, bd, nbytes: int,
+                         ngenomes: int, k: int, state: dict | None = None,
+                         capacity: int | None = None, trace: bool = False):
+    """The single-chip streamed anchor engine (shared by Genome.run_anchor
+    and bench.py — the benchmark measures the exact product path).
+
+    Dispatches every chunk's fused RLE kernel asynchronously with its
+    prefix d2h copies, keeps up to PIPELINE_DEPTH chunks in flight, and
+    drains in order.  Yields (start, m, bitmap bytes u8 [m, nbytes],
+    popc i32 [m], colsums i64 [ngenomes]) per chunk.
+
+    `state` (a dict) carries the observed run-count/palette hints across
+    chromosomes so only a genome's very first chunks pay the speculative
+    full-prefix transfer.  The transfer protocol (v3 mask rows / v4
+    palette) follows rle_proto(nbytes); RLE overflow falls back to the
+    dense anchor_chunk_fast path per chunk."""
+    import time as _time
+
+    import jax.numpy as _jnp
+
+    proto = rle_proto(nbytes)
+    if capacity is None:
+        # every RLE row consumes >= 1 position, so capacity = chunk can
+        # never overflow; transfers are sized by the observed count
+        capacity = chunk
+    pal_work = pal_work_for(capacity)
+    if state is None:
+        state = {}
+    hint = state.get("hint")
+    pal_hint = state.get("pal_hint")
+    pending = []
+
+    # persistent decode buffers: a fresh ~17 MB allocation per chunk
+    # intermittently stalls >1 s on sandbox page faults (measured; see
+    # rle_expand_native) — fill() commits the pages once.  Safe to reuse:
+    # the consumer fully processes each yielded chunk before the
+    # generator drains the next.
+    out_b = np.empty((chunk, nbytes), np.uint8)
+    out_p = np.empty(chunk, np.int32)
+    out_b.fill(0)
+    out_p.fill(0)
+    if proto == 4:
+        rle_buf = np.empty((capacity + 1, 3), np.uint8)
+        pal_buf = np.empty((PAL_CAP + 3, 4 * bd.nwords), np.uint8)
+        v3_tmp = np.empty((capacity + 1, rle_row_bytes(nbytes)), np.uint8)
+        pal_buf.fill(0)
+        v3_tmp.fill(0)
+    else:
+        rle_buf = np.empty((capacity + 2, rle_row_bytes(nbytes)), np.uint8)
+    rle_buf.fill(0)
+
+    def _dense(inbuf, L, m):
+        n4 = (L + 3) // 4
+        by_d, popc_d, colsums_d = anchor_chunk_fast(
+            _jnp.asarray(inbuf[:n4]), _jnp.asarray(inbuf[n4:]),
+            table, L, k, bd.nbits, bd.cap, bd.nwords, nbytes)
+        return (np.asarray(by_d)[:m], np.asarray(popc_d)[:m].astype(np.int32),
+                np.asarray(colsums_d)[:ngenomes])
+
+    def _drain():
+        nonlocal hint, pal_hint
+        t0 = _time.perf_counter()
+        start, m, L, inbuf, combined, prefix = pending.pop(0)
+        P = L - k + 1
+        if proto == 4:
+            data, pal = combined
+            data_rows, pal_bytes, count, U = collect_rle4(
+                prefix, data, pal, pal_work, out=rle_buf, pal_out=pal_buf)
+            t1 = _time.perf_counter()
+            if data_rows is None:       # palette/RLE overflow: dense
+                by, popc_np, chunk_colsums = _dense(inbuf, L, m)
+            else:
+                hint = state["hint"] = count
+                pal_hint = state["pal_hint"] = U
+                by, popc_np, v3rows = unpack_rle4(
+                    data_rows, pal_bytes, count, P, nbytes,
+                    out=(out_b[:P], out_p[:P]), tmp=v3_tmp)
+                by = by[:m]
+                popc_np = popc_np[:m]
+                chunk_colsums = rle2_colsums(v3rows, count, P, ngenomes)
+            if trace:
+                print(f"  drain: count={count} pal={U} "
+                      f"collect={1e3*(t1-t0):.0f}ms "
+                      f"decode={1e3*(_time.perf_counter()-t1):.0f}ms",
+                      file=sys.stderr, flush=True)
+        else:
+            data_rows, count = collect_rle2(prefix, combined, out=rle_buf)
+            t1 = _time.perf_counter()
+            if data_rows is None:       # RLE overflow: dense fallback
+                by, popc_np, chunk_colsums = _dense(inbuf, L, m)
+            else:
+                hint = state["hint"] = count
+                by, popc_np = unpack_rle2(data_rows, count, P, nbytes,
+                                          out=(out_b[:P], out_p[:P]))
+                by = by[:m]
+                popc_np = popc_np[:m]
+                chunk_colsums = rle2_colsums(data_rows, count, P, ngenomes)
+            if trace:
+                print(f"  drain: count={count} "
+                      f"collect={1e3*(t1-t0):.0f}ms "
+                      f"decode={1e3*(_time.perf_counter()-t1):.0f}ms",
+                      file=sys.stderr, flush=True)
+        return start, m, by, popc_np, chunk_colsums
+
+    for start in range(0, nkmers, chunk):
+        m = min(chunk, nkmers - start)
+        buf[:] = 255
+        buf[: m + k - 1] = codes[start : start + m + k - 1]
+        inbuf, L = pack_bases_combined(buf)
+        ib = _jnp.asarray(inbuf)
+        if proto == 4:
+            combined = anchor_chunk_rle4(
+                ib, table, L, k, bd.nbits, bd.cap, bd.nwords, nbytes,
+                capacity, pal_work)
+            prefix = dispatch_rle4_prefix(combined[0], combined[1],
+                                          hint, pal_hint)
+        else:
+            combined = anchor_chunk_rle2(
+                ib, table, L, k, bd.nbits, bd.cap, bd.nwords, nbytes,
+                capacity)
+            prefix = dispatch_rle_prefix(combined, hint)
+        pending.append((start, m, L, inbuf, combined, prefix))
+        if len(pending) >= PIPELINE_DEPTH:
+            yield _drain()
+    while pending:
+        yield _drain()
 
 
 @partial(jax.jit, static_argnums=(3,))

@@ -273,6 +273,132 @@ def test_collect_rle2_piecewise(rng):
         A._piece_fns.clear()
 
 
+@pytest.mark.parametrize("ngenomes", [30, 40])
+def test_anchor_chunk_rle4(rng, ngenomes):
+    """Palette protocol parity vs the oracle (W=1 and W=2), including
+    runs longer than 255 positions (continuation rows share a palette
+    entry) and N windows."""
+    import jax.numpy as jnp
+
+    from panagram_tpu.ops import anchor as A
+
+    seqs = [random_seq(rng, 1700, n_frac=0.02) for _ in range(ngenomes)]
+    sets = [genome_kmer_set([s], K) for s in seqs]
+    d = build_dictionary(sets, K)
+    bd = BucketedDict.build(d.keys, d.masks, ngenomes, K)
+    (t1,) = bd.device_arrays()
+    nbytes = (ngenomes + 7) // 8
+
+    # a 700-base poly-A stretch: every window maps to ONE k-mer -> a run
+    # far beyond the 255-delta limit
+    seq = seqs[0][:400] + "A" * 700 + seqs[0][400:]
+    codes = seq_to_codes(seq)
+    inbuf, L = A.pack_bases_combined(codes)
+    P = L - K + 1
+    pal_work = A.pal_work_for(P)
+    data, pal = A.anchor_chunk_rle4(
+        jnp.asarray(inbuf), t1, L, K, bd.nbits, bd.cap,
+        bd.nwords, nbytes, P, pal_work)
+    assert data.shape == (P + 1, 3)
+    assert pal.shape == (A.PAL_CAP + 3, 4 * bd.nwords)
+    data_rows, pal_bytes, count, U = A.collect_rle4(
+        A.dispatch_rle4_prefix(data, pal), data, pal, pal_work)
+    assert data_rows is not None and 0 < U <= count <= P
+    by, popc, v3rows = A.unpack_rle4(data_rows, pal_bytes, count, P, nbytes)
+
+    want_rows = anchor_np(seq, K, d.keys, d.masks)
+    assert np.array_equal(by, masks_to_bytes_np(want_rows, nbytes))
+    assert np.array_equal(popc, popcount_np(want_rows))
+    bits = np.unpackbits(
+        np.ascontiguousarray(want_rows.astype("<u4")).view(np.uint8)
+        .reshape(P, 4 * bd.nwords), axis=1, bitorder="little")
+    assert np.array_equal(A.rle2_colsums(v3rows, count, P, ngenomes),
+                          bits[:, :ngenomes].sum(axis=0))
+
+    # v3 and v4 must describe the same runs (count parity)
+    out3 = A.anchor_chunk_rle2(
+        jnp.asarray(inbuf), t1, L, K, bd.nbits, bd.cap,
+        bd.nwords, nbytes, P)
+    rows3, count3 = A.collect_rle2(A.dispatch_rle_prefix(out3), out3)
+    assert count3 == count
+    assert np.array_equal(v3rows[:, : 1 + nbytes], rows3[:, : 1 + nbytes])
+
+    # run-count overflow past pal_work must surface with the true count
+    data2, pal2 = A.anchor_chunk_rle4(
+        jnp.asarray(inbuf), t1, L, K, bd.nbits, bd.cap,
+        bd.nwords, nbytes, P, 4)
+    r2, p2, count2, _ = A.collect_rle4(
+        A.dispatch_rle4_prefix(data2, pal2), data2, pal2, 4)
+    assert r2 is None and count2 == count
+
+
+def test_collect_rle4_palette_overflow():
+    """A palette size beyond the u16 index space must be rejected at
+    collect time (the header carries the true U)."""
+    import jax.numpy as jnp
+
+    from panagram_tpu.ops import anchor as A
+
+    data = jnp.zeros((64, 3), jnp.uint8)
+    hdr = np.zeros((A.PAL_CAP + 3, 4), np.uint8)
+    hdr[0, :4] = np.array([10, 0, 0, 0], np.uint8)            # count = 10
+    hdr[1, :4] = np.frombuffer(
+        np.uint32(A.PAL_CAP + 1).tobytes(), np.uint8)         # U overflow
+    pal = jnp.asarray(hdr)
+    rows, pb, count, U = A.collect_rle4(
+        A.dispatch_rle4_prefix(data, pal), data, pal, 63)
+    assert rows is None and count == 10 and U == A.PAL_CAP + 1
+
+
+def test_stream_anchor_chunks_protocol_parity(rng, monkeypatch):
+    """The shared streaming engine must produce byte-identical results
+    under both transfer protocols, across chunk boundaries and through
+    the dense-fallback path."""
+    from panagram_tpu.ops import anchor as A
+
+    ngenomes = 30
+    seqs = [random_seq(rng, 2500, n_frac=0.02) for _ in range(ngenomes)]
+    sets = [genome_kmer_set([s], K) for s in seqs]
+    d = build_dictionary(sets, K)
+    bd = BucketedDict.build(d.keys, d.masks, ngenomes, K)
+    (t1,) = bd.device_arrays()
+    nbytes = (ngenomes + 7) // 8
+
+    codes = seq_to_codes(seqs[0])
+    nkmers = len(codes) - K + 1
+    chunk = 1 << 10
+    want_rows = anchor_np(seqs[0], K, d.keys, d.masks)
+    want_by = masks_to_bytes_np(want_rows, nbytes)
+    want_popc = popcount_np(want_rows)
+
+    def run(proto, capacity=None):
+        monkeypatch.setenv("PANAGRAM_TPU_RLE_PROTO", str(proto))
+        buf = np.full(chunk + K - 1, 255, np.uint8)
+        bys, popcs = [], []
+        colsums = np.zeros(ngenomes, np.int64)
+        state = {}
+        for start, m, by, popc, cs in A.stream_anchor_chunks(
+                codes, nkmers, chunk, buf, t1, bd, nbytes, ngenomes, K,
+                state=state, capacity=capacity):
+            bys.append(by.copy())
+            popcs.append(popc.copy())
+            colsums += cs
+        return np.concatenate(bys), np.concatenate(popcs), colsums
+
+    for proto in (3, 4):
+        by, popc, colsums = run(proto)
+        assert np.array_equal(by, want_by), f"proto {proto}"
+        assert np.array_equal(popc, want_popc), f"proto {proto}"
+        bits = np.unpackbits(want_by, axis=1, bitorder="little")
+        assert np.array_equal(colsums, bits[:, :ngenomes].sum(axis=0))
+        # tiny capacity: every chunk overflows -> dense fallback, still
+        # byte-identical
+        by_d, popc_d, colsums_d = run(proto, capacity=8)
+        assert np.array_equal(by_d, want_by)
+        assert np.array_equal(popc_d, want_popc)
+        assert np.array_equal(colsums_d, colsums)
+
+
 def test_cpu_anchorer_matches_oracle():
     """The C++ baseline anchorer (bench.py's honest CPU stand-in) must be
     byte-exact vs the numpy oracle — a wrong baseline is no baseline."""
