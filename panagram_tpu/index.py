@@ -714,7 +714,11 @@ class Genome:
         Yields the same tuples as _device_chunk_results — the entire write
         path downstream is shared, so mesh builds are byte-identical."""
         from .ops.anchor import rle2_colsums, unpack_rle2
-        from .parallel.shard import make_halo_chunks, sharded_anchor_chunk
+        from .parallel.shard import (
+            make_halo_chunks,
+            prefix_rows,
+            sharded_anchor_chunk,
+        )
 
         k = self.index.k
         N = self.ngenomes
@@ -744,7 +748,10 @@ class Genome:
                 combined, counts, _ = sharded_anchor_chunk(
                     mesh, sharded, halo, C_dev)
                 cnts = np.asarray(counts)
-            comb = np.asarray(combined)
+            # ship only the live prefix of the per-device RLE buffers
+            # (pow2-quantized device slice), not the full capacity
+            comb, _ = prefix_rows(combined, int(cnts.max()) if len(cnts)
+                                  else 1)
             parts_by, parts_popc = [], []
             chunk_colsums = np.zeros(N, np.int64)
             for d in range(S):

@@ -568,6 +568,28 @@ def assemble_genome_shards(by_shards: np.ndarray, nbytes: int) -> np.ndarray:
                           axis=1)[:, :nbytes]
 
 
+_prefix_fns: dict = {}
+
+
+def prefix_rows(combined: jax.Array, rows_needed: int):
+    """Device-side slice of the leading rows of the per-device RLE buffers
+    [S, capacity, rowb] -> host np [S, rows, rowb], rows = pow2-quantized
+    rows_needed (one cached program per pow2 step, capped at capacity).
+
+    A whole-buffer np.asarray ships S * capacity rows over the host link
+    every chunk — typically 5-15x the live run-count prefix.  The counts
+    are known before the drain (they are a tiny separate output), so the
+    transfer is sized by the observed maximum instead."""
+    S, cap, rowb = combined.shape
+    rows = min(1 << max(int(rows_needed) - 1, 0).bit_length(), cap)
+    key = (S, cap, rowb, rows, str(combined.dtype))
+    fn = _prefix_fns.get(key)
+    if fn is None:
+        fn = jax.jit(lambda a: jax.lax.slice(a, (0, 0, 0), (S, rows, rowb)))
+        _prefix_fns[key] = fn
+    return np.asarray(fn(combined)), rows
+
+
 def make_halo_chunks(codes: np.ndarray, n_shards: int, k: int,
                      chunk_per_dev: int | None = None):
     """Host-side: split a chromosome's codes into per-device halo'd slices.
