@@ -140,6 +140,39 @@ void acpu_anchor(void* hd, const uint8_t* codes, int64_t L, int k,
 // positions; runs > 255 arrive as same-mask continuation rows).
 // Per-position popcounts are recomputed here from the mask bytes (once
 // per ROW) rather than shipped over the narrow d2h link.
+// Protocol-v4 twin of acpu_rle_expand: 3-byte data rows
+// [delta u8 | palette idx u16 LE] plus a palette of mask rows (row width
+// palw >= nbytes) — expansion reads each run's mask bytes straight from
+// the palette, no host-side v3-row reconstruction.
+void acpu_rle_expand_pal(const uint8_t* rows, const uint8_t* pal, int palw,
+                         int64_t count, int nbytes, int64_t total,
+                         uint8_t* out_bytes, int32_t* out_popc) {
+  int64_t pos = 0;
+  for (int64_t i = 0; i < count; i++) {
+    const uint8_t* r = rows + i * 3;
+    pos += r[0];
+    int64_t end = total;
+    if (i + 1 < count) end = pos + rows[(i + 1) * 3];  // next row's delta
+    if (end > total) end = total;
+    const uint8_t* mb =
+        pal + (size_t)((unsigned)r[1] | ((unsigned)r[2] << 8)) * palw;
+    int32_t popc = 0;
+    for (int b = 0; b < nbytes; b++)
+      popc += __builtin_popcount((unsigned)mb[b]);
+    int64_t p = pos;
+    if (nbytes == 4) {  // the <=32-genome fast path: one u32 store/position
+      uint32_t v;
+      std::memcpy(&v, mb, 4);
+      uint32_t* ob = reinterpret_cast<uint32_t*>(out_bytes) + p;
+      for (int64_t n = end - p; n > 0; n--) *ob++ = v;
+    } else {
+      for (int64_t q = p; q < end; q++)
+        std::memcpy(out_bytes + q * nbytes, mb, nbytes);
+    }
+    for (int64_t q = p; q < end; q++) out_popc[q] = popc;
+  }
+}
+
 void acpu_rle_expand(const uint8_t* rows, int64_t count, int nbytes,
                      int64_t total, uint8_t* out_bytes, int32_t* out_popc) {
   const int rowbytes = (1 + nbytes) < 4 ? 4 : (1 + nbytes);

@@ -36,6 +36,34 @@ _lib.acpu_rle_expand.argtypes = [
     ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int, ctypes.c_longlong,
     ctypes.c_void_p, ctypes.c_void_p,
 ]
+_lib.acpu_rle_expand_pal.restype = None
+_lib.acpu_rle_expand_pal.argtypes = [
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_longlong,
+    ctypes.c_int, ctypes.c_longlong, ctypes.c_void_p, ctypes.c_void_p,
+]
+
+
+def rle_expand_pal_native(rows: np.ndarray, pal: np.ndarray, count: int,
+                          total: int, nbytes: int, out=None):
+    """Decode anchor_chunk_rle4 rows ([delta u8 | idx u16 LE] + palette)
+    -> (bytes u8 [total, nbytes], popc i32 [total]); same contract as
+    ops.anchor.unpack_rle4's decode."""
+    rows = np.ascontiguousarray(rows[:count], np.uint8)
+    pal = np.ascontiguousarray(pal, np.uint8)
+    if out is not None:
+        out_b, out_p = out
+        assert out_b.shape == (total, nbytes) and out_b.dtype == np.uint8
+        assert out_p.shape == (total,) and out_p.dtype == np.int32
+        assert out_b.flags.c_contiguous and out_p.flags.c_contiguous
+    else:
+        out_b = np.empty((total, nbytes), np.uint8)
+        out_p = np.empty(total, np.int32)
+    _lib.acpu_rle_expand_pal(
+        rows.ctypes.data_as(ctypes.c_void_p),
+        pal.ctypes.data_as(ctypes.c_void_p), pal.shape[1], count, nbytes,
+        total, out_b.ctypes.data_as(ctypes.c_void_p),
+        out_p.ctypes.data_as(ctypes.c_void_p))
+    return out_b, out_p
 
 
 def rle_expand_native(rows: np.ndarray, count: int, total: int,

@@ -354,10 +354,14 @@ def anchor_chunk_rle4(inbuf: jax.Array, table: jax.Array,
     return rle4_payload(rows, nbytes, capacity, pal_work)
 
 
-try:  # native memcpy decoder (faster than np.repeat); optional build
-    from ..native.anchor_cpu import rle_expand_native as _rle_expand_native
+try:  # native memcpy decoders (faster than np.repeat); optional build
+    from ..native.anchor_cpu import (
+        rle_expand_native as _rle_expand_native,
+        rle_expand_pal_native as _rle_expand_pal_native,
+    )
 except OSError:  # pragma: no cover - library not built
     _rle_expand_native = None
+    _rle_expand_pal_native = None
 
 
 def _rle_pos(rowsc: np.ndarray) -> np.ndarray:
@@ -390,18 +394,47 @@ def unpack_rle2(data_rows: np.ndarray, count: int, total: int,
     return np.repeat(by, reps, axis=0), np.repeat(popc, reps)
 
 
+_BIT8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1,
+                      bitorder="little").astype(np.int64)   # [256, 8]
+
+
 def rle2_colsums(data_rows: np.ndarray, count: int, total: int,
                  ngenomes: int) -> np.ndarray:
     """Exact per-genome presence totals from RLE rows x run lengths —
     host-side replacement for the device column-sum reductions (the
     paircount_sums of reference index.py:1051).  `total` must be the REAL
-    position count (padding rows are zero anyway)."""
+    position count (padding rows are zero anyway).
+
+    Per mask BYTE: bincount the 256 byte values weighted by run lengths,
+    then expand through an 8-bit table — O(count) adds and a [256, 8]
+    product instead of materialising a [count, N] unpacked bit matrix
+    (which cost ~60 ms/chunk in fresh allocations on this sandbox)."""
     nbytes = (ngenomes + 7) // 8
     rowsc = data_rows[:count]
     reps = np.diff(_rle_pos(rowsc), append=total).clip(min=0)
-    bits = np.unpackbits(rowsc[:, 1 : 1 + nbytes], axis=1,
-                         bitorder="little")[:, :ngenomes]
-    return (bits.astype(np.int64) * reps[:, None]).sum(axis=0)
+    out = np.empty(nbytes * 8, np.int64)
+    for b in range(nbytes):
+        w = np.bincount(rowsc[:, 1 + b], weights=reps, minlength=256)
+        out[b * 8 : b * 8 + 8] = (w[:, None] * _BIT8).sum(axis=0)
+    return out[:ngenomes]
+
+
+def rle4_colsums(data_rows: np.ndarray, pal_bytes: np.ndarray, count: int,
+                 total: int, ngenomes: int) -> np.ndarray:
+    """v4 per-genome totals straight from the palette: aggregate run
+    lengths per palette entry (one bincount over the u16 indices), then
+    one [U, N] bit expansion — U is typically a few thousand, so this is
+    ~free next to the v3 unpack."""
+    nbytes = (ngenomes + 7) // 8
+    pos = np.cumsum(data_rows[:count, 0].astype(np.int64))
+    reps = np.diff(pos, append=total).clip(min=0)
+    idx = data_rows[:count, 1].astype(np.int32) \
+        | (data_rows[:count, 2].astype(np.int32) << 8)
+    U = pal_bytes.shape[0]
+    weights = np.bincount(idx, weights=reps, minlength=U)[:U]
+    bits = np.unpackbits(np.ascontiguousarray(pal_bytes[:, :nbytes]),
+                         axis=1, bitorder="little")[:, :ngenomes]
+    return (weights[:, None] * bits).sum(axis=0).astype(np.int64)
 
 
 _PIECE = 1 << 16       # rows per transfer piece (one cached slice program)
@@ -608,13 +641,11 @@ def collect_rle4(prefix, data: jax.Array, pal: jax.Array, pal_work: int,
     return data_rows, pal_rows[2: 2 + U], count, U
 
 
-def unpack_rle4(data_rows: np.ndarray, pal_bytes: np.ndarray, count: int,
-                total: int, nbytes: int, out=None, tmp=None):
-    """Decode v4 rows: reconstruct v3-layout rows ([delta | mask bytes])
-    from the palette on the host — a count*(1+nbytes) byte copy — and
-    reuse the v3 decoder (including its native memcpy expander).  Returns
-    (bytes [total, nbytes], popc i32 [total], v3rows [count, rowb]); feed
-    v3rows to rle2_colsums for the per-genome totals."""
+def rle4_to_v3_rows(data_rows: np.ndarray, pal_bytes: np.ndarray,
+                    count: int, nbytes: int, tmp=None) -> np.ndarray:
+    """Reconstruct v3-layout rows ([delta | mask bytes]) from v4 data +
+    palette — a count*(1+nbytes) byte copy (the pure-Python decode path
+    and the protocol-parity tests)."""
     rowb = rle_row_bytes(nbytes)
     t = tmp if tmp is not None else np.empty((max(count, 1), rowb), np.uint8)
     t = t[:count]
@@ -622,8 +653,19 @@ def unpack_rle4(data_rows: np.ndarray, pal_bytes: np.ndarray, count: int,
         | (data_rows[:count, 2].astype(np.int32) << 8)
     t[:, 0] = data_rows[:count, 0]
     t[:, 1: 1 + nbytes] = pal_bytes[idx][:, :nbytes]
-    by, popc = unpack_rle2(t, count, total, nbytes, out=out)
-    return by, popc, t
+    return t
+
+
+def unpack_rle4(data_rows: np.ndarray, pal_bytes: np.ndarray, count: int,
+                total: int, nbytes: int, out=None, tmp=None):
+    """Decode v4 rows -> (bytes [total, nbytes], popc i32 [total]).  The
+    native expander reads mask bytes straight from the palette; without
+    it, v3 rows are reconstructed on the host and fed to the v3 decoder."""
+    if _rle_expand_pal_native is not None and count > 0:
+        return _rle_expand_pal_native(data_rows, pal_bytes, count, total,
+                                      nbytes, out=out)
+    t = rle4_to_v3_rows(data_rows, pal_bytes, count, nbytes, tmp=tmp)
+    return unpack_rle2(t, count, total, nbytes, out=out)
 
 
 def rle_proto(nbytes: int) -> int:
@@ -711,12 +753,13 @@ def stream_anchor_chunks(codes: np.ndarray, nkmers: int, chunk: int,
             else:
                 hint = state["hint"] = count
                 pal_hint = state["pal_hint"] = U
-                by, popc_np, v3rows = unpack_rle4(
+                by, popc_np = unpack_rle4(
                     data_rows, pal_bytes, count, P, nbytes,
                     out=(out_b[:P], out_p[:P]), tmp=v3_tmp)
                 by = by[:m]
                 popc_np = popc_np[:m]
-                chunk_colsums = rle2_colsums(v3rows, count, P, ngenomes)
+                chunk_colsums = rle4_colsums(data_rows, pal_bytes, count,
+                                             P, ngenomes)
             if trace:
                 print(f"  drain: count={count} pal={U} "
                       f"collect={1e3*(t1-t0):.0f}ms "

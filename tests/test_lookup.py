@@ -304,7 +304,8 @@ def test_anchor_chunk_rle4(rng, ngenomes):
     data_rows, pal_bytes, count, U = A.collect_rle4(
         A.dispatch_rle4_prefix(data, pal), data, pal, pal_work)
     assert data_rows is not None and 0 < U <= count <= P
-    by, popc, v3rows = A.unpack_rle4(data_rows, pal_bytes, count, P, nbytes)
+    by, popc = A.unpack_rle4(data_rows, pal_bytes, count, P, nbytes)
+    v3rows = A.rle4_to_v3_rows(data_rows, pal_bytes, count, nbytes)
 
     want_rows = anchor_np(seq, K, d.keys, d.masks)
     assert np.array_equal(by, masks_to_bytes_np(want_rows, nbytes))
@@ -312,8 +313,11 @@ def test_anchor_chunk_rle4(rng, ngenomes):
     bits = np.unpackbits(
         np.ascontiguousarray(want_rows.astype("<u4")).view(np.uint8)
         .reshape(P, 4 * bd.nwords), axis=1, bitorder="little")
+    want_cols = bits[:, :ngenomes].sum(axis=0)
     assert np.array_equal(A.rle2_colsums(v3rows, count, P, ngenomes),
-                          bits[:, :ngenomes].sum(axis=0))
+                          want_cols)
+    assert np.array_equal(
+        A.rle4_colsums(data_rows, pal_bytes, count, P, ngenomes), want_cols)
 
     # v3 and v4 must describe the same runs (count parity)
     out3 = A.anchor_chunk_rle2(
@@ -330,6 +334,38 @@ def test_anchor_chunk_rle4(rng, ngenomes):
     r2, p2, count2, _ = A.collect_rle4(
         A.dispatch_rle4_prefix(data2, pal2), data2, pal2, 4)
     assert r2 is None and count2 == count
+
+
+def test_unpack_rle4_python_fallback(rng, monkeypatch):
+    """The pure-Python v4 decode (no native library) must match the
+    native expander."""
+    from panagram_tpu.ops import anchor as A
+
+    ngenomes = 30
+    seqs = [random_seq(rng, 1200, n_frac=0.02) for _ in range(ngenomes)]
+    sets = [genome_kmer_set([s], K) for s in seqs]
+    d = build_dictionary(sets, K)
+    bd = BucketedDict.build(d.keys, d.masks, ngenomes, K)
+    (t1,) = bd.device_arrays()
+    nbytes = (ngenomes + 7) // 8
+
+    import jax.numpy as jnp
+
+    codes = seq_to_codes(seqs[0])
+    inbuf, L = A.pack_bases_combined(codes)
+    P = L - K + 1
+    pal_work = A.pal_work_for(P)
+    data, pal = A.anchor_chunk_rle4(
+        jnp.asarray(inbuf), t1, L, K, bd.nbits, bd.cap,
+        bd.nwords, nbytes, P, pal_work)
+    data_rows, pal_bytes, count, U = A.collect_rle4(
+        A.dispatch_rle4_prefix(data, pal), data, pal, pal_work)
+    by_n, popc_n = A.unpack_rle4(data_rows, pal_bytes, count, P, nbytes)
+    monkeypatch.setattr(A, "_rle_expand_pal_native", None)
+    monkeypatch.setattr(A, "_rle_expand_native", None)
+    by_p, popc_p = A.unpack_rle4(data_rows, pal_bytes, count, P, nbytes)
+    assert np.array_equal(by_n, by_p)
+    assert np.array_equal(popc_n, popc_p)
 
 
 def test_collect_rle4_palette_overflow():

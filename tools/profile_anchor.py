@@ -139,6 +139,17 @@ def main():
     timed("tail rle_payload (incl gather)",
           lambda: np.asarray(stage_tail(canon_dev, t1)))
 
+    pal_work = A.pal_work_for(P)
+
+    @jax.jit
+    def stage_tail4(c, t):
+        rows = qg(c, t)
+        data, pal = A.rle4_payload(rows, nbytes, P, pal_work)
+        return data.sum() + pal.sum()
+
+    timed("tail rle4_payload (incl gather)",
+          lambda: np.asarray(stage_tail4(canon_dev, t1)))
+
     for name, flag in [("full rle2 (gather)", "0"),
                        ("full rle2 (pallas)", "1")]:
         os.environ["PANAGRAM_TPU_PALLAS"] = flag
@@ -150,6 +161,21 @@ def main():
             A.collect_rle2(A.dispatch_rle_prefix(combined), combined)
 
         dt = timed(name, run)
+        print(f"  -> {P/dt/1e6:.1f} M kmers/s")
+
+    for name, flag in [("full rle4 (gather)", "0"),
+                       ("full rle4 (pallas)", "1")]:
+        os.environ["PANAGRAM_TPU_PALLAS"] = flag
+        A.anchor_chunk_rle4.clear_cache()
+
+        def run4():
+            data, pal = A.anchor_chunk_rle4(
+                ib, t1, L, k, bd.nbits, bd.cap, bd.nwords, nbytes, P,
+                pal_work)
+            prefix = A.dispatch_rle4_prefix(data, pal)
+            A.collect_rle4(prefix, data, pal, pal_work)
+
+        dt = timed(name, run4)
         print(f"  -> {P/dt/1e6:.1f} M kmers/s")
 
 
