@@ -70,9 +70,11 @@ class ShardedBucketedDict:
 
 def _uniform_bounds(n_shards: int) -> np.ndarray:
     """Mixed-key space is uniform, so shard ownership boundaries are equal
-    slices of the u64 range (works for any S, not just powers of two)."""
+    slices of the u64 range (works for any S, not just powers of two).
+    The modulo keeps the 1-shard step representable ((1<<64)//1 would
+    overflow u64; the single bound is 0 either way)."""
     return (np.arange(n_shards, dtype=U64)
-            * U64((1 << 64) // n_shards))
+            * U64(((1 << 64) // n_shards) % (1 << 64)))
 
 
 def _local_probe(q: jax.Array, table: jax.Array, nbits: int, cap: int,
