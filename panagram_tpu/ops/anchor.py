@@ -263,14 +263,15 @@ _PAL_PIECE = 1 << 12       # palette-buffer transfer piece (rows)
 
 def pal_work_for(capacity: int) -> int:
     """Palette working-prefix size: how many leading runs participate in
-    palette construction (beyond it the chunk falls back dense).  A
-    quarter of the chunk gives ~3x headroom over observed run densities
-    while keeping the two palette sorts ~4x cheaper than chunk-sized
-    ones."""
+    palette construction (beyond it the chunk falls back to protocol v3).
+    An eighth of the chunk gives ~1.6x headroom over observed run
+    densities (323k runs / 4M-position chunks on the bench pangenome)
+    while keeping the two palette sorts ~8x cheaper than chunk-sized
+    ones (measured: the v4 tail costs only ~8 ms over v3 at 2^19)."""
     env = os.environ.get("PANAGRAM_TPU_PAL_WORK_LOG2")
     if env:
         return min(1 << int(env), capacity)
-    return max(capacity >> 2, min(capacity, PAL_CAP))
+    return max(capacity >> 3, min(capacity, PAL_CAP))
 
 
 def rle4_payload(rows: jax.Array, nbytes: int, capacity: int, pal_work: int):
@@ -606,12 +607,14 @@ def dispatch_rle4_prefix(data: jax.Array, pal: jax.Array,
         target = max(total // 8, min(total, _PIECE))
     else:
         target = min(hint + (hint >> 3) + 2, total)
-    dp = _dispatch_prefix(data, target, _PIECE)
     if pal_hint is None:
         ptarget = _PAL_PIECE
     else:
         ptarget = 2 + pal_hint + (pal_hint >> 2) + 16
+    # palette pieces queue FIRST: piece 0 carries the headers the drain
+    # reads before anything else, and link transfers complete in order
     pp = _dispatch_prefix(pal, ptarget, _PAL_PIECE)
+    dp = _dispatch_prefix(data, target, _PIECE)
     return dp, pp
 
 
@@ -738,6 +741,23 @@ def stream_anchor_chunks(codes: np.ndarray, nkmers: int, chunk: int,
         return (np.asarray(by_d)[:m], np.asarray(popc_d)[:m].astype(np.int32),
                 np.asarray(colsums_d)[:ngenomes])
 
+    def _v3_chunk(inbuf, L, m):
+        """Palette overflow fallback: the v3 kernel handles ANY run count
+        up to `capacity` and still ships only count*(1+nbytes) bytes —
+        strictly cheaper than the dense path's P*nbytes."""
+        P = L - k + 1
+        combined = anchor_chunk_rle2(
+            _jnp.asarray(inbuf), table, L, k, bd.nbits, bd.cap, bd.nwords,
+            nbytes, capacity)
+        data_rows, count = collect_rle2(dispatch_rle_prefix(combined, None),
+                                        combined)
+        if data_rows is None:           # count > capacity: impossible by
+            return _dense(inbuf, L, m)  # construction, kept as a backstop
+        by, popc_np = unpack_rle2(data_rows, count, P, nbytes,
+                                  out=(out_b[:P], out_p[:P]))
+        return (by[:m], popc_np[:m],
+                rle2_colsums(data_rows, count, P, ngenomes))
+
     def _drain():
         nonlocal hint, pal_hint
         t0 = _time.perf_counter()
@@ -748,8 +768,8 @@ def stream_anchor_chunks(codes: np.ndarray, nkmers: int, chunk: int,
             data_rows, pal_bytes, count, U = collect_rle4(
                 prefix, data, pal, pal_work, out=rle_buf, pal_out=pal_buf)
             t1 = _time.perf_counter()
-            if data_rows is None:       # palette/RLE overflow: dense
-                by, popc_np, chunk_colsums = _dense(inbuf, L, m)
+            if data_rows is None:       # palette overflow: v3 fallback
+                by, popc_np, chunk_colsums = _v3_chunk(inbuf, L, m)
             else:
                 hint = state["hint"] = count
                 pal_hint = state["pal_hint"] = U
