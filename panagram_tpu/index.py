@@ -713,11 +713,20 @@ class Genome:
         as per-device RLE buffers that this host decodes and concatenates.
         Yields the same tuples as _device_chunk_results — the entire write
         path downstream is shared, so mesh builds are byte-identical."""
-        from .ops.anchor import rle2_colsums, unpack_rle2
+        from .ops.anchor import (
+            PAL_CAP,
+            pal_work_for,
+            rle2_colsums,
+            rle4_colsums,
+            rle_proto,
+            unpack_rle2,
+            unpack_rle4,
+        )
         from .parallel.shard import (
             make_halo_chunks,
             prefix_rows,
             sharded_anchor_chunk,
+            sharded_anchor_chunk_pal,
         )
 
         k = self.index.k
@@ -726,6 +735,8 @@ class Genome:
         S = mesh.devices.size
         C_dev = -(-chunk // S)
         capacity = C_dev   # v3 count <= positions: overflow unreachable
+        proto = rle_proto(nbytes)
+        pal_work = pal_work_for(capacity)
 
         # per-device persistent decode buffers (see _device_chunk_results:
         # fresh allocations stall on sandbox page faults); one slab per
@@ -739,19 +750,10 @@ class Genome:
 
         pending = []
 
-        def _drain():
-            start, m, halo, combined, counts = pending.pop(0)
-            cnts = np.asarray(counts)
-            if np.any(cnts > capacity):
-                # RLE overflow on some device: redo the chunk with a
-                # capacity that can never overflow (count <= C_dev)
-                combined, counts, _ = sharded_anchor_chunk(
-                    mesh, sharded, halo, C_dev)
-                cnts = np.asarray(counts)
+        def _decode_v3(combined, cnts, m):
             # ship only the live prefix of the per-device RLE buffers
             # (pow2-quantized device slice), not the full capacity
-            comb, _ = prefix_rows(combined, int(cnts.max()) if len(cnts)
-                                  else 1)
+            comb, _ = prefix_rows(combined, int(cnts.max()))
             parts_by, parts_popc = [], []
             chunk_colsums = np.zeros(N, np.int64)
             for d in range(S):
@@ -766,8 +768,51 @@ class Genome:
                 # padding rows carry zero masks, so the full-slice totals
                 # are exact
                 chunk_colsums += rle2_colsums(comb[d], cd, C_dev, N)
-            by = np.concatenate(parts_by)
-            popc_np = np.concatenate(parts_popc)
+            return (np.concatenate(parts_by), np.concatenate(parts_popc),
+                    chunk_colsums)
+
+        def _drain():
+            start, m, halo, outs = pending.pop(0)
+            if proto == 4:
+                data, pal, counts, us = outs
+                cnts = np.asarray(counts)
+                uvals = np.asarray(us)
+                if np.any(cnts > pal_work) or np.any(uvals > PAL_CAP):
+                    # palette overflow on some device: redo through v3
+                    combined, counts, _ = sharded_anchor_chunk(
+                        mesh, sharded, halo, C_dev)
+                    by, popc_np, chunk_colsums = _decode_v3(
+                        combined, np.asarray(counts), m)
+                    return start, m, by, popc_np, chunk_colsums
+                dpref, _ = prefix_rows(data, int(cnts.max()))
+                ppref, _ = prefix_rows(pal, 2 + int(uvals.max()))
+                parts_by, parts_popc = [], []
+                chunk_colsums = np.zeros(N, np.int64)
+                for d in range(S):
+                    cd = int(cnts[d])
+                    real = min(max(m - d * C_dev, 0), C_dev)
+                    if real == 0:
+                        break
+                    pal_bytes = ppref[d][2: 2 + int(uvals[d])]
+                    by_d, popc_d = unpack_rle4(dpref[d], pal_bytes, cd,
+                                               C_dev, nbytes,
+                                               out=(out_b[d], out_p[d]))
+                    parts_by.append(by_d[:real])
+                    parts_popc.append(popc_d[:real])
+                    chunk_colsums += rle4_colsums(dpref[d], pal_bytes, cd,
+                                                  C_dev, N)
+                return (start, m, np.concatenate(parts_by),
+                        np.concatenate(parts_popc), chunk_colsums)
+
+            combined, counts = outs
+            cnts = np.asarray(counts)
+            if np.any(cnts > capacity):
+                # RLE overflow on some device: redo the chunk with a
+                # capacity that can never overflow (count <= C_dev)
+                combined, counts, _ = sharded_anchor_chunk(
+                    mesh, sharded, halo, C_dev)
+                cnts = np.asarray(counts)
+            by, popc_np, chunk_colsums = _decode_v3(combined, cnts, m)
             return start, m, by, popc_np, chunk_colsums
 
         # bounded dispatch-ahead (same PIPELINE_DEPTH as the single-device
@@ -777,9 +822,14 @@ class Genome:
             m = min(chunk, nkmers - start)
             sub = codes[start : start + m + k - 1]
             halo, _ = make_halo_chunks(sub, S, k, C_dev)
-            combined, counts, _ = sharded_anchor_chunk(
-                mesh, sharded, halo, capacity)
-            pending.append((start, m, halo, combined, counts))
+            if proto == 4:
+                data, pal, counts, us, _ = sharded_anchor_chunk_pal(
+                    mesh, sharded, halo, capacity, pal_work)
+                pending.append((start, m, halo, (data, pal, counts, us)))
+            else:
+                combined, counts, _ = sharded_anchor_chunk(
+                    mesh, sharded, halo, capacity)
+                pending.append((start, m, halo, (combined, counts)))
             if len(pending) >= PIPELINE_DEPTH:
                 yield _drain()
         while pending:

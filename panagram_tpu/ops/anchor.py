@@ -276,8 +276,10 @@ def pal_work_for(capacity: int) -> int:
 
 def rle4_payload(rows: jax.Array, nbytes: int, capacity: int, pal_work: int):
     """Protocol-v4 compaction: mask rows u32 [P, W] ->
-    (data u8 [capacity + 1, 3], pal u8 [PAL_CAP + 3, 4W]).  See the
-    protocol comment above for the layout."""
+    (data u8 [capacity + 1, 3], pal u8 [PAL_CAP + 3, 4W], count i32,
+    U i32).  count/U also ride in the pal header (rows 0-1) for
+    single-buffer consumers.  See the protocol comment above for the
+    layout."""
     P, W = rows.shape
     change, pos, count, delta = _run_structure(rows)
 
@@ -334,7 +336,7 @@ def rle4_payload(rows: jax.Array, nbytes: int, capacity: int, pal_work: int):
     hdr = jnp.zeros((2, 4 * W), jnp.uint8).at[:, :4].set(
         ((hdr_vals[:, None] >> cshift[None, :]) & 0xFF).astype(jnp.uint8))
     pal = jnp.concatenate([hdr, masks_to_bytes(palw)], axis=0)
-    return data, pal
+    return data, pal, count, U
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
@@ -352,7 +354,8 @@ def anchor_chunk_rle4(inbuf: jax.Array, table: jax.Array,
     nmask = jax.lax.slice(inbuf, (n4,), (inbuf.shape[0],))
     canon, _ = pack_kmers_packed(packed, nmask, L, k)
     rows = _query(canon, table, nbits, cap, nwords)
-    return rle4_payload(rows, nbytes, capacity, pal_work)
+    data, pal, _count, _u = rle4_payload(rows, nbytes, capacity, pal_work)
+    return data, pal
 
 
 try:  # native memcpy decoders (faster than np.repeat); optional build

@@ -358,6 +358,20 @@ def _anchor_body(packed, nmask, table_l, *, k, L, n_shards, nbits, cap,
     anchor_chunk_rle2) — the host reconstructs per shard and concatenates
     (anchor.cpp:167-177's streamed writes, without ever materialising
     full rows globally)."""
+    rows = _anchor_rows_body(packed, nmask, table_l, k=k, L=L,
+                             n_shards=n_shards, nbits=nbits, cap=cap,
+                             nwords=nwords)
+    from ..ops.anchor import rle_payload
+
+    out, count = rle_payload(rows, nbytes, capacity)
+    return out[:capacity], count[None].astype(jnp.int64)
+
+
+def _anchor_rows_body(packed, nmask, table_l, *, k, L, n_shards, nbits,
+                      cap, nwords):
+    """Shared probe half of the anchor bodies: packed slice -> mask rows
+    u32 [C, W] in position order (all_to_all routing both ways, sort-based
+    inverse permutation)."""
     from ..ops.codec import pack_kmers_packed
 
     packed = packed.reshape(-1)
@@ -380,12 +394,56 @@ def _anchor_body(packed, nmask, table_l, *, k, L, n_shards, nbits, cap,
     rows_sorted = back[tgt_s, slot]                    # [C, W] sorted order
     inv = jnp.zeros(C, jnp.int32).at[order].set(
         jnp.arange(C, dtype=jnp.int32))
-    rows = rows_sorted[inv]                            # [C, W] position order
+    return rows_sorted[inv]                            # [C, W] position order
 
-    from ..ops.anchor import rle_payload
 
-    out, count = rle_payload(rows, nbytes, capacity)
-    return out[:capacity], count[None].astype(jnp.int64)
+def _anchor_body_pal(packed, nmask, table_l, *, k, L, n_shards, nbits,
+                     cap, stride, nwords, nbytes, capacity, pal_work):
+    """Protocol-v4 twin of _anchor_body: each device palette-compacts its
+    own slice (ops.anchor.rle4_payload) — 3 B/run data rows + a per-device
+    palette instead of v3's 1+nbytes B/run (the same 40%-at-30-genomes /
+    4.7x-at-100 d2h cut the single-chip path gets, applied to every
+    host's drain on a real slice)."""
+    rows = _anchor_rows_body(packed, nmask, table_l, k=k, L=L,
+                             n_shards=n_shards, nbits=nbits, cap=cap,
+                             nwords=nwords)
+    from ..ops.anchor import rle4_payload
+
+    data, pal, count, U = rle4_payload(rows, nbytes, capacity, pal_work)
+    return (data[:capacity], pal, count[None].astype(jnp.int64),
+            U[None].astype(jnp.int64))
+
+
+def sharded_anchor_chunk_pal(mesh, sbd: ShardedBucketedDict,
+                             codes_sharded: jax.Array, capacity: int,
+                             pal_work: int):
+    """Distributed anchor step with v4 palette outputs.
+
+    Returns (data u8 [S, capacity, 3], pal u8 [S, PAL_CAP + 3, 4W],
+    counts i64 [S], us i64 [S], C).  Decode per shard with
+    ops.anchor.unpack_rle4 after prefix-slicing both buffers by
+    max(counts)/max(us); counts > pal_work or us > PAL_CAP signal
+    overflow (re-run the chunk through sharded_anchor_chunk)."""
+    from ..ops.anchor import PAL_CAP
+
+    n = mesh.devices.size
+    L = int(np.asarray(codes_sharded).shape[1])
+    packed, nmask = _pack_rows(codes_sharded)
+    body = partial(
+        _anchor_body_pal, k=sbd.k, L=L, n_shards=n, nbits=sbd.nbits,
+        cap=sbd.cap, stride=sbd.stride, nwords=sbd.nwords,
+        nbytes=sbd.nbytes_row, capacity=capacity, pal_work=pal_work,
+    )
+    f = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(DICT_AXIS), P(DICT_AXIS), P(DICT_AXIS)),
+        out_specs=(P(DICT_AXIS),) * 4,
+    )
+    data, pal, counts, us = jax.jit(f)(packed, nmask, sbd.tables)
+    C = L - (sbd.k - 1)
+    return (data.reshape(n, capacity, 3),
+            pal.reshape(n, PAL_CAP + 3, 4 * sbd.nwords),
+            counts.reshape(n), us.reshape(n), C)
 
 
 def sharded_anchor_chunk(mesh, sbd: ShardedBucketedDict,

@@ -144,7 +144,7 @@ def main():
     @jax.jit
     def stage_tail4(c, t):
         rows = qg(c, t)
-        data, pal = A.rle4_payload(rows, nbytes, P, pal_work)
+        data, pal, _cnt, _u = A.rle4_payload(rows, nbytes, P, pal_work)
         return data.sum() + pal.sum()
 
     timed("tail rle4_payload (incl gather)",
