@@ -844,35 +844,82 @@ class Genome:
         per-KMC-DB byte slices (reference index.py:936-947).  Yields the
         same tuples as _device_chunk_results, so the write path is
         shared and mesh builds stay byte-identical."""
-        from .ops.anchor import PIPELINE_DEPTH
+        from .ops.anchor import (
+            PAL_CAP,
+            PIPELINE_DEPTH,
+            pal_work_for,
+            rle4_colsums,
+            rle_proto,
+            unpack_rle4,
+        )
         from .parallel.shard import (
             assemble_genome_shards,
             genome_sharded_anchor_chunk,
+            genome_sharded_anchor_chunk_pal,
+            prefix_rows,
         )
 
         k = self.index.k
         N = self.ngenomes
         nbytes = self.nbytes
+        S = mesh.devices.size
+        Wl = gsd.nwords_local
         buf = np.full(chunk + k - 1, 255, np.uint8)
+        proto = rle_proto(nbytes)
+        pal_work = pal_work_for(chunk)
 
         pending = []
 
-        def _drain():
-            start, m, by_dev, popc_dev, cs_dev = pending.pop(0)
+        def _drain_dense(m, by_dev, popc_dev, cs_dev):
             by = assemble_genome_shards(np.asarray(by_dev), nbytes)[:m]
             popc_np = np.asarray(popc_dev)[:m].astype(np.int32)
             # padding positions past m carry zero masks, so the device's
             # full-slice totals are exact
             colsums = np.asarray(cs_dev)[:N]
+            return by, popc_np, colsums
+
+        def _drain():
+            start, m, chunk_buf, outs = pending.pop(0)
+            if proto == 4:
+                data, pal, counts, us, C = outs
+                cnts = np.asarray(counts)
+                uvals = np.asarray(us)
+                if np.any(cnts > pal_work) or np.any(uvals > PAL_CAP):
+                    by, popc_np, colsums = _drain_dense(
+                        m, *genome_sharded_anchor_chunk(mesh, gsd,
+                                                        chunk_buf))
+                    return start, m, by, popc_np, colsums
+                dpref, _ = prefix_rows(data, int(cnts.max()))
+                ppref, _ = prefix_rows(pal, 2 + int(uvals.max()))
+                nb_loc = 4 * Wl
+                slices = []
+                popc_np = np.zeros(m, np.int32)
+                colsums = np.zeros(S * 32 * Wl, np.int64)
+                for s in range(S):
+                    pal_bytes = ppref[s][2: 2 + int(uvals[s])]
+                    by_s, popc_s = unpack_rle4(dpref[s], pal_bytes,
+                                               int(cnts[s]), C, nb_loc)
+                    slices.append(by_s[:m])
+                    # per-shard local popcounts sum to the global occupancy
+                    popc_np += popc_s[:m]
+                    colsums[s * 32 * Wl: (s + 1) * 32 * Wl] = rle4_colsums(
+                        dpref[s], pal_bytes, int(cnts[s]), C, 32 * Wl)
+                by = np.concatenate(slices, axis=1)[:, :nbytes]
+                return start, m, by, popc_np, colsums[:N]
+            by, popc_np, colsums = _drain_dense(m, *outs)
             return start, m, by, popc_np, colsums
 
         for start in range(0, nkmers, chunk):
             m = min(chunk, nkmers - start)
             buf[:] = 255
             buf[: m + k - 1] = codes[start : start + m + k - 1]
-            by_dev, popc_dev, cs_dev = genome_sharded_anchor_chunk(
-                mesh, gsd, buf)
-            pending.append((start, m, by_dev, popc_dev, cs_dev))
+            if proto == 4:
+                outs = genome_sharded_anchor_chunk_pal(
+                    mesh, gsd, buf, chunk, pal_work)
+                pending.append((start, m, buf.copy(), outs))
+            else:
+                outs = genome_sharded_anchor_chunk(mesh, gsd, buf)
+                pending.append((start, m, None, outs))
             if len(pending) >= PIPELINE_DEPTH:
                 yield _drain()
         while pending:

@@ -560,19 +560,11 @@ def _genome_anchor_body(packed, nmask, table_l, *, k, L, nbits, cap,
     is a psum over shards.  Output bytes stay sharded along the genome
     axis — the host concatenates byte slices exactly like the reference
     concatenates per-KMC-DB slices (reference index.py:936-947)."""
-    from ..ops.codec import pack_kmers_packed
-    from ..ops.lookup import bucket_query
-
-    packed = packed.reshape(-1)
-    nmask = nmask.reshape(-1)
-    table_l = table_l.reshape(table_l.shape[-2], table_l.shape[-1])
-    canon, _ = pack_kmers_packed(packed, nmask, L, k)
-    m = jnp.where(canon == SENTINEL, SENTINEL, mix64(canon))
-
     # standard top-bits single-probe layout: the shard-local table is a
     # plain BucketedDict table over its mask-word slice
-    rows_l = bucket_query(m, table_l, nbits, cap, nwords_local,
-                          pre_mixed=True)               # [C, Wl]
+    rows_l = _genome_rows_body(packed, nmask, table_l, k=k, L=L,
+                               nbits=nbits, cap=cap,
+                               nwords_local=nwords_local)
 
     popc_l = jnp.sum(jax.lax.population_count(rows_l).astype(jnp.int32),
                      axis=-1, dtype=jnp.int32)
@@ -618,6 +610,72 @@ def genome_sharded_anchor_chunk(mesh, gsd: GenomeShardedDict,
                                    gsd.tables)
     return (by.reshape(n, C, 4 * gsd.nwords_local), popc,
             colsums.reshape(n * 32 * gsd.nwords_local))
+
+
+def _genome_rows_body(packed, nmask, table_l, *, k, L, nbits, cap,
+                      nwords_local):
+    """Shared probe half of the genome-sharded bodies: replicated packed
+    input -> this shard's mask-word slice rows u32 [C, Wl]."""
+    from ..ops.codec import pack_kmers_packed
+    from ..ops.lookup import bucket_query
+
+    packed = packed.reshape(-1)
+    nmask = nmask.reshape(-1)
+    table_l = table_l.reshape(table_l.shape[-2], table_l.shape[-1])
+    canon, _ = pack_kmers_packed(packed, nmask, L, k)
+    m = jnp.where(canon == SENTINEL, SENTINEL, mix64(canon))
+    return bucket_query(m, table_l, nbits, cap, nwords_local,
+                        pre_mixed=True)                # [C, Wl]
+
+
+def _genome_anchor_body_pal(packed, nmask, table_l, *, k, L, nbits, cap,
+                            nwords_local, capacity, pal_work):
+    """v4-palette twin of _genome_anchor_body: each shard RLE-compacts
+    its OWN byte slice (runs are per-slice, so a slice whose 32 genomes
+    are conserved compresses independently of the others) — d2h per
+    shard drops from C*4*Wl dense bytes to 3 B/run + a local palette."""
+    rows_l = _genome_rows_body(packed, nmask, table_l, k=k, L=L,
+                               nbits=nbits, cap=cap,
+                               nwords_local=nwords_local)
+    from ..ops.anchor import rle4_payload
+
+    data, pal, count, U = rle4_payload(rows_l, 4 * nwords_local, capacity,
+                                       pal_work)
+    return (data[:capacity], pal, count[None].astype(jnp.int64),
+            U[None].astype(jnp.int64))
+
+
+def genome_sharded_anchor_chunk_pal(mesh, gsd: GenomeShardedDict,
+                                    codes: np.ndarray, capacity: int,
+                                    pal_work: int):
+    """Genome-sharded anchor step with v4 palette outputs.
+
+    codes u8 [C + k - 1] (replicated).  Returns (data u8 [S, capacity,
+    3], pal u8 [S, PAL_CAP + 3, 4*Wl], counts i64 [S], us i64 [S], C).
+    Per-shard decode with ops.anchor.unpack_rle4 yields [C, 4*Wl] byte
+    slices (assemble with assemble_genome_shards) and per-position local
+    popcounts whose shard-sum is the global occupancy; overflow falls
+    back to genome_sharded_anchor_chunk."""
+    from ..ops.anchor import PAL_CAP
+    from ..ops.codec import pack_bases_np
+
+    n = mesh.devices.size
+    L = len(codes)
+    packed, nmask, _ = pack_bases_np(np.asarray(codes, np.uint8))
+    body = partial(_genome_anchor_body_pal, k=gsd.k, L=L, nbits=gsd.nbits,
+                   cap=gsd.cap, nwords_local=gsd.nwords_local,
+                   capacity=capacity, pal_work=pal_work)
+    f = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(DICT_AXIS)),
+        out_specs=(P(DICT_AXIS),) * 4,
+    )
+    data, pal, counts, us = jax.jit(f)(jnp.asarray(packed),
+                                       jnp.asarray(nmask), gsd.tables)
+    C = L - (gsd.k - 1)
+    return (data.reshape(n, capacity, 3),
+            pal.reshape(n, PAL_CAP + 3, 4 * gsd.nwords_local),
+            counts.reshape(n), us.reshape(n), C)
 
 
 def assemble_genome_shards(by_shards: np.ndarray, nbytes: int) -> np.ndarray:

@@ -207,6 +207,31 @@ def test_genome_sharded_dict_matches_oracle(setup):
                          bitorder="little")[:, :ng]
     assert np.array_equal(np.asarray(colsums)[:ng], bits.sum(axis=0))
 
+    # v4 palette variant: per-shard RLE slices must decode to the same
+    # bytes, with shard-local popcounts summing to the global occupancy
+    from panagram_tpu.ops.anchor import rle4_colsums, unpack_rle4
+    from panagram_tpu.parallel.shard import genome_sharded_anchor_chunk_pal
+
+    C = len(codes) - K + 1
+    data, pal, counts, us, C2 = genome_sharded_anchor_chunk_pal(
+        mesh, gsd, codes, C, C)
+    assert C2 == C
+    dnp, pnp = np.asarray(data), np.asarray(pal)
+    cnts, uvals = np.asarray(counts), np.asarray(us)
+    slices, popc_sum = [], np.zeros(C, np.int32)
+    colsums4 = np.zeros(8 * 32, np.int64)
+    for s in range(8):
+        pb = pnp[s][2: 2 + int(uvals[s])]
+        by_s, popc_s = unpack_rle4(dnp[s], pb, int(cnts[s]), C, 4)
+        slices.append(by_s)
+        popc_sum += popc_s
+        colsums4[s * 32: (s + 1) * 32] = rle4_colsums(
+            dnp[s], pb, int(cnts[s]), C, 32)
+    assert np.array_equal(
+        np.concatenate(slices, axis=1)[:, :nbytes], got)
+    assert np.array_equal(popc_sum, popcount_np(want))
+    assert np.array_equal(colsums4[:ng], bits.sum(axis=0))
+
 
 def test_sharded_anchor_wide_masks_row_width():
     """12 genomes -> nbytes=2, where the v3 data-row width (max(1+nbytes,4)
