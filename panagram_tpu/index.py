@@ -944,8 +944,9 @@ class Genome:
           engine (sequence-sharded slices with (k-1) halos, all_to_all
           query routing, per-device RLE outputs);
         * a parallel.shard.GenomeShardedDict selects the genome-dimension
-          engine (every device probes its own mask-word slice, psum'd
-          popcounts, per-shard byte slices hstacked on the host).
+          engine (every device probes its own mask-word slice and
+          palette-compacts it; the host sums per-shard popcounts and
+          hstacks the decoded byte slices).
         """
         if logfile:
             init_logger(logfile)
