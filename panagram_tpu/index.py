@@ -868,6 +868,15 @@ class Genome:
         proto = rle_proto(nbytes)
         pal_work = pal_work_for(chunk)
 
+        # persistent per-shard decode buffers (fresh multi-MB allocations
+        # stall on sandbox page faults; see rle_expand_native) — held per
+        # shard until the byte-slice concatenation
+        if proto == 4:
+            out_b = np.empty((S, chunk, 4 * Wl), np.uint8)
+            out_p = np.empty((S, chunk), np.int32)
+            out_b.fill(0)
+            out_p.fill(0)
+
         pending = []
 
         def _drain_dense(m, by_dev, popc_dev, cs_dev):
@@ -898,7 +907,8 @@ class Genome:
                 for s in range(S):
                     pal_bytes = ppref[s][2: 2 + int(uvals[s])]
                     by_s, popc_s = unpack_rle4(dpref[s], pal_bytes,
-                                               int(cnts[s]), C, nb_loc)
+                                               int(cnts[s]), C, nb_loc,
+                                               out=(out_b[s], out_p[s]))
                     slices.append(by_s[:m])
                     # per-shard local popcounts sum to the global occupancy
                     popc_np += popc_s[:m]

@@ -23,7 +23,7 @@ _DIR = os.path.dirname(os.path.realpath(__file__))
 _tried: set = set()
 
 
-def _run_make(target: str) -> None:
+def _run_make(target: str, force: bool = False) -> None:
     """Build one target under an exclusive lockfile; warn on failure
     instead of silently degrading to the pure-Python fallback."""
     lock_path = os.path.join(_DIR, ".build.lock")
@@ -34,11 +34,12 @@ def _run_make(target: str) -> None:
             fcntl.flock(lock, fcntl.LOCK_EX)
         except (ImportError, OSError):
             pass
-        if os.path.exists(os.path.join(_DIR, target)):
+        if not force and os.path.exists(os.path.join(_DIR, target)):
             return  # another process built it while we waited
+        cmd = ["make", "-B", "-C", _DIR, target] if force else \
+            ["make", "-C", _DIR, target]
         result = subprocess.run(
-            ["make", "-C", _DIR, target],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             timeout=120)
         if result.returncode != 0:
             tail = result.stdout.decode("utf-8", "replace").strip()
@@ -46,6 +47,19 @@ def _run_make(target: str) -> None:
             print(f"panagram_tpu: make {target} failed "
                   f"(rc={result.returncode}); falling back to pure "
                   f"Python.\n{tail}", file=sys.stderr)
+
+
+def rebuild(lib_path: str) -> None:
+    """Force-rebuild a library (stale prebuilt artifact missing a newer
+    symbol — the .so files are gitignored, so checkouts carry old ones
+    across commits).  Best-effort like ensure_built."""
+    target = os.path.basename(lib_path)
+    _tried.add(target)
+    try:
+        _run_make(target, force=True)
+    except (OSError, subprocess.TimeoutExpired) as e:
+        print(f"panagram_tpu: could not rebuild {target} ({e}).",
+              file=sys.stderr)
 
 
 def ensure_built(lib_path: str) -> None:

@@ -20,6 +20,32 @@ _LIB_PATH = os.path.join(_DIR, "libanchor_cpu.so")
 ensure_built(_LIB_PATH)          # fresh checkouts: build before loading
 _lib = ctypes.CDLL(_LIB_PATH)    # raises OSError when not built
 
+# stale prebuilt artifact (the .so is gitignored): a library compiled
+# before a symbol was added would otherwise raise AttributeError at the
+# first binding below — rebuild once and reload, else raise OSError so
+# callers degrade to pure Python instead of crashing the import
+if not hasattr(_lib, "acpu_rle_expand_pal"):
+    import shutil
+    import tempfile
+
+    from ._build import rebuild
+
+    rebuild(_LIB_PATH)
+    # dlopen caches by pathname — reloading the SAME path returns the old
+    # mapping, so load the rebuilt file through a unique temp name (the
+    # mapping survives the unlink)
+    fd, _tmp = tempfile.mkstemp(prefix="libanchor_cpu_", suffix=".so",
+                                dir=_DIR)
+    os.close(fd)
+    shutil.copy2(_LIB_PATH, _tmp)
+    try:
+        _lib = ctypes.CDLL(_tmp)
+    finally:
+        os.unlink(_tmp)
+    if not hasattr(_lib, "acpu_rle_expand_pal"):
+        raise OSError("libanchor_cpu.so is stale and rebuild failed "
+                      "(make -C panagram_tpu/native)")
+
 _lib.acpu_build.restype = ctypes.c_void_p
 _lib.acpu_build.argtypes = [
     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int,

@@ -243,7 +243,7 @@ def pack_bases_combined(codes: np.ndarray):
 # masks once (the palette) and references them with a u16 index:
 #
 #   data buffer u8 [capacity + 1, 3]:  rows [delta u8 | palette idx u16 LE]
-#   palette buffer u8 [PAL_CAP + 3, 4W]:
+#   palette buffer u8 [PAL_CAP + 3, rle4_pal_bytes(nbytes)]:
 #       row 0: run count (u32 LE)        row 1: palette size U (u32 LE)
 #       rows 2..2+U: palette entries (little-endian mask bytes)
 #
@@ -261,6 +261,12 @@ PAL_CAP = 1 << 16          # u16 index space
 _PAL_PIECE = 1 << 12       # palette-buffer transfer piece (rows)
 
 
+def rle4_pal_bytes(nbytes: int) -> int:
+    """v4 palette-row width: the bitmap's nbytes mask bytes, floored at 4
+    so the u32 count/U headers (rows 0-1) fit."""
+    return max(nbytes, 4)
+
+
 def pal_work_for(capacity: int) -> int:
     """Palette working-prefix size: how many leading runs participate in
     palette construction (beyond it the chunk falls back to protocol v3).
@@ -276,8 +282,8 @@ def pal_work_for(capacity: int) -> int:
 
 def rle4_payload(rows: jax.Array, nbytes: int, capacity: int, pal_work: int):
     """Protocol-v4 compaction: mask rows u32 [P, W] ->
-    (data u8 [capacity + 1, 3], pal u8 [PAL_CAP + 3, 4W], count i32,
-    U i32).  count/U also ride in the pal header (rows 0-1) for
+    (data u8 [capacity + 1, 3], pal u8 [PAL_CAP + 3,
+    rle4_pal_bytes(nbytes)], count i32, U i32).  count/U also ride in the pal header (rows 0-1) for
     single-buffer consumers.  See the protocol comment above for the
     layout."""
     P, W = rows.shape
@@ -331,11 +337,14 @@ def rle4_payload(rows: jax.Array, nbytes: int, capacity: int, pal_work: int):
     data = jnp.stack([delta_col, idx_lo[: capacity + 1],
                       idx_hi[: capacity + 1]], axis=1)
 
+    # palette rows carry exactly the bitmap's nbytes mask bytes (width
+    # floored at 4 so the u32 headers in rows 0-1 fit)
+    pal_w = rle4_pal_bytes(nbytes)
     cshift = np.array([0, 8, 16, 24], np.uint32)
     hdr_vals = jnp.stack([count.astype(jnp.uint32), U.astype(jnp.uint32)])
-    hdr = jnp.zeros((2, 4 * W), jnp.uint8).at[:, :4].set(
+    hdr = jnp.zeros((2, pal_w), jnp.uint8).at[:, :4].set(
         ((hdr_vals[:, None] >> cshift[None, :]) & 0xFF).astype(jnp.uint8))
-    pal = jnp.concatenate([hdr, masks_to_bytes(palw)], axis=0)
+    pal = jnp.concatenate([hdr, masks_to_bytes(palw)[:, :pal_w]], axis=0)
     return data, pal, count, U
 
 
@@ -345,7 +354,8 @@ def anchor_chunk_rle4(inbuf: jax.Array, table: jax.Array,
                       nwords: int, nbytes: int, capacity: int,
                       pal_work: int):
     """Palette-protocol twin of anchor_chunk_rle2: ONE u8 input buffer ->
-    (data u8 [capacity + 1, 3], pal u8 [PAL_CAP + 3, 4W]).  Host side:
+    (data u8 [capacity + 1, 3], pal u8 [PAL_CAP + 3,
+    rle4_pal_bytes(nbytes)]).  Host side:
     dispatch_rle4_prefix -> collect_rle4 -> unpack_rle4."""
     from .codec import pack_kmers_packed
 
@@ -539,19 +549,7 @@ def dispatch_rle_prefix(combined: jax.Array, hint: int | None = None):
         target = max(total // 8, min(total, _PIECE))
     else:
         target = min(hint + (hint >> 3) + 2, total)
-    pieces = []
-    s = 0
-    while s < target:
-        piece_len = min(_PIECE, total)
-        sa = min(s, total - piece_len)
-        arr, piece_len = _piece_dev(combined, sa)
-        try:
-            arr.copy_to_host_async()
-        except Exception:  # pragma: no cover - backend without async copies
-            pass
-        pieces.append((sa, arr))
-        s = sa + piece_len
-    return pieces
+    return _dispatch_prefix(combined, target, _PIECE)
 
 
 def collect_rle2(pieces, combined: jax.Array, out: np.ndarray | None = None):
@@ -572,29 +570,10 @@ def collect_rle2(pieces, combined: jax.Array, out: np.ndarray | None = None):
     if count > capacity:
         return None, count
     need = count + 1                      # rows including the header
-    if need <= first.shape[0]:
-        return first[1:need], count
-
-    buf = out if out is not None else np.empty((need, rowb), np.uint8)
-    assert buf.shape[0] >= need and buf.shape[1] == rowb
-    covered = 0
-    for sa, arr in pieces:
-        if covered >= need:
-            break
-        a = np.asarray(arr)
-        hi = min(sa + a.shape[0], need)
-        if hi > covered:
-            buf[covered:hi] = a[covered - sa: hi - sa]
-            covered = hi
-    while covered < need:                 # speculative read fell short
-        piece_len = min(_PIECE, total_rows)
-        sa = min(covered, total_rows - piece_len)
-        arr, piece_len = _piece_dev(combined, sa)
-        part = np.asarray(arr)
-        hi = min(sa + piece_len, need)
-        buf[covered:hi] = part[covered - sa: hi - sa]
-        covered = hi
-    return buf[1:need], count
+    if out is None:
+        out = np.empty((need, rowb), np.uint8)
+    rows = _fetch_rows(pieces, combined, need, out)
+    return rows[1:need], count
 
 
 def dispatch_rle4_prefix(data: jax.Array, pal: jax.Array,
@@ -626,7 +605,8 @@ def collect_rle4(prefix, data: jax.Array, pal: jax.Array, pal_work: int,
                  pal_out: np.ndarray | None = None):
     """Host-side collection of an anchor_chunk_rle4 result.
 
-    Returns (data_rows u8 [count, 3], pal_bytes u8 [U, 4W], count, U);
+    Returns (data_rows u8 [count, 3], pal_bytes u8 [U, pal width],
+    count, U);
     data_rows/pal_bytes are None on overflow (count > pal_work/capacity
     or U > PAL_CAP) — the caller re-runs the chunk densely.  `out` /
     `pal_out` reuse caller buffers (fresh multi-MB allocations stall on
@@ -728,7 +708,8 @@ def stream_anchor_chunks(codes: np.ndarray, nkmers: int, chunk: int,
     out_p.fill(0)
     if proto == 4:
         rle_buf = np.empty((capacity + 1, 3), np.uint8)
-        pal_buf = np.empty((PAL_CAP + 3, 4 * bd.nwords), np.uint8)
+        pal_buf = np.empty((PAL_CAP + 3, rle4_pal_bytes(nbytes)),
+                           np.uint8)
         v3_tmp = np.empty((capacity + 1, rle_row_bytes(nbytes)), np.uint8)
         pal_buf.fill(0)
         v3_tmp.fill(0)

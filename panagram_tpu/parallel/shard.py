@@ -419,12 +419,12 @@ def sharded_anchor_chunk_pal(mesh, sbd: ShardedBucketedDict,
                              pal_work: int):
     """Distributed anchor step with v4 palette outputs.
 
-    Returns (data u8 [S, capacity, 3], pal u8 [S, PAL_CAP + 3, 4W],
+    Returns (data u8 [S, capacity, 3], pal u8 [S, PAL_CAP + 3, palw],
     counts i64 [S], us i64 [S], C).  Decode per shard with
     ops.anchor.unpack_rle4 after prefix-slicing both buffers by
     max(counts)/max(us); counts > pal_work or us > PAL_CAP signal
     overflow (re-run the chunk through sharded_anchor_chunk)."""
-    from ..ops.anchor import PAL_CAP
+    from ..ops.anchor import PAL_CAP, rle4_pal_bytes
 
     n = mesh.devices.size
     L = int(np.asarray(codes_sharded).shape[1])
@@ -442,7 +442,7 @@ def sharded_anchor_chunk_pal(mesh, sbd: ShardedBucketedDict,
     data, pal, counts, us = jax.jit(f)(packed, nmask, sbd.tables)
     C = L - (sbd.k - 1)
     return (data.reshape(n, capacity, 3),
-            pal.reshape(n, PAL_CAP + 3, 4 * sbd.nwords),
+            pal.reshape(n, PAL_CAP + 3, rle4_pal_bytes(sbd.nbytes_row)),
             counts.reshape(n), us.reshape(n), C)
 
 
@@ -651,12 +651,12 @@ def genome_sharded_anchor_chunk_pal(mesh, gsd: GenomeShardedDict,
     """Genome-sharded anchor step with v4 palette outputs.
 
     codes u8 [C + k - 1] (replicated).  Returns (data u8 [S, capacity,
-    3], pal u8 [S, PAL_CAP + 3, 4*Wl], counts i64 [S], us i64 [S], C).
+    3], pal u8 [S, PAL_CAP + 3, palw], counts i64 [S], us i64 [S], C).
     Per-shard decode with ops.anchor.unpack_rle4 yields [C, 4*Wl] byte
     slices (assemble with assemble_genome_shards) and per-position local
     popcounts whose shard-sum is the global occupancy; overflow falls
     back to genome_sharded_anchor_chunk."""
-    from ..ops.anchor import PAL_CAP
+    from ..ops.anchor import PAL_CAP, rle4_pal_bytes
     from ..ops.codec import pack_bases_np
 
     n = mesh.devices.size
@@ -674,7 +674,8 @@ def genome_sharded_anchor_chunk_pal(mesh, gsd: GenomeShardedDict,
                                        jnp.asarray(nmask), gsd.tables)
     C = L - (gsd.k - 1)
     return (data.reshape(n, capacity, 3),
-            pal.reshape(n, PAL_CAP + 3, 4 * gsd.nwords_local),
+            pal.reshape(n, PAL_CAP + 3,
+                        rle4_pal_bytes(4 * gsd.nwords_local)),
             counts.reshape(n), us.reshape(n), C)
 
 

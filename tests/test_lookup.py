@@ -300,7 +300,7 @@ def test_anchor_chunk_rle4(rng, ngenomes):
         jnp.asarray(inbuf), t1, L, K, bd.nbits, bd.cap,
         bd.nwords, nbytes, P, pal_work)
     assert data.shape == (P + 1, 3)
-    assert pal.shape == (A.PAL_CAP + 3, 4 * bd.nwords)
+    assert pal.shape == (A.PAL_CAP + 3, A.rle4_pal_bytes(nbytes))
     data_rows, pal_bytes, count, U = A.collect_rle4(
         A.dispatch_rle4_prefix(data, pal), data, pal, pal_work)
     assert data_rows is not None and 0 < U <= count <= P
