@@ -824,7 +824,7 @@ class Genome:
             halo, _ = make_halo_chunks(sub, S, k, C_dev)
             if proto == 4:
                 data, pal, counts, us, _ = sharded_anchor_chunk_pal(
-                    mesh, sharded, halo, capacity, pal_work)
+                    mesh, sharded, halo, pal_work)
                 pending.append((start, m, halo, (data, pal, counts, us)))
             else:
                 combined, counts, _ = sharded_anchor_chunk(
@@ -925,7 +925,7 @@ class Genome:
             buf[: m + k - 1] = codes[start : start + m + k - 1]
             if proto == 4:
                 outs = genome_sharded_anchor_chunk_pal(
-                    mesh, gsd, buf, chunk, pal_work)
+                    mesh, gsd, buf, pal_work)
                 pending.append((start, m, buf.copy(), outs))
             else:
                 outs = genome_sharded_anchor_chunk(mesh, gsd, buf)

@@ -242,7 +242,7 @@ def pack_bases_combined(codes: np.ndarray):
 # of distinct masks (haplotype structure), so v4 ships each chunk's distinct
 # masks once (the palette) and references them with a u16 index:
 #
-#   data buffer u8 [capacity + 1, 3]:  rows [delta u8 | palette idx u16 LE]
+#   data buffer u8 [pal_work + 1, 3]: rows [delta u8 | palette idx u16 LE]
 #   palette buffer u8 [PAL_CAP + 3, rle4_pal_bytes(nbytes)]:
 #       row 0: run count (u32 LE)        row 1: palette size U (u32 LE)
 #       rows 2..2+U: palette entries (little-endian mask bytes)
@@ -280,24 +280,29 @@ def pal_work_for(capacity: int) -> int:
     return max(capacity >> 3, min(capacity, PAL_CAP))
 
 
-def rle4_payload(rows: jax.Array, nbytes: int, capacity: int, pal_work: int):
+def rle4_payload(rows: jax.Array, nbytes: int, pal_work: int):
     """Protocol-v4 compaction: mask rows u32 [P, W] ->
-    (data u8 [capacity + 1, 3], pal u8 [PAL_CAP + 3,
-    rle4_pal_bytes(nbytes)], count i32, U i32).  count/U also ride in the pal header (rows 0-1) for
-    single-buffer consumers.  See the protocol comment above for the
-    layout."""
+    (data u8 [pal_work + 1, 3], pal u8 [PAL_CAP + 3,
+    rle4_pal_bytes(nbytes)], count i32, U i32).  count/U also ride in
+    the pal header (rows 0-1) for single-buffer consumers.  See the
+    protocol comment above for the layout.
+
+    A chunk is only valid under v4 when count <= pal_work (the caller
+    falls back to v3 otherwise), so delta and mask words compact through
+    ONE scatter into a [pal_work + 1, 1 + W] u32 buffer — the per-chunk
+    compaction scatters are the tail's dominant measured cost
+    (tools/tail_ablate.py: scatters ~30 ms vs ~0 for flags/scans/sorts
+    at a 4M chunk), so one wide scatter beats two narrower ones."""
     P, W = rows.shape
     change, pos, count, delta = _run_structure(rows)
 
-    # delta column of the data buffer (trash slot at `capacity`)
-    slots_d = jnp.where(change & (pos < capacity), pos, capacity)
-    delta_col = jnp.zeros(capacity + 1, jnp.uint8).at[slots_d].set(
-        delta, mode="drop")
-
-    # run mask rows, compacted into the pal_work prefix (trash at pal_work)
-    slots_p = jnp.where(change & (pos < pal_work), pos, pal_work)
-    rmask = jnp.zeros((pal_work + 1, W), jnp.uint32).at[slots_p].set(
-        rows, mode="drop")
+    slots = jnp.where(change & (pos < pal_work), pos, pal_work)
+    payload = jnp.concatenate(
+        [delta.astype(jnp.uint32)[:, None], rows], axis=1)
+    buf = jnp.zeros((pal_work + 1, 1 + W), jnp.uint32).at[slots].set(
+        payload, mode="drop")
+    delta_col = buf[:, 0].astype(jnp.uint8)
+    rmask = buf[:, 1:]
 
     # palette grouping: sort runs by (validity, mask words) carrying the
     # run index; valid runs sort first, equal masks group together
@@ -329,13 +334,7 @@ def rle4_payload(rows: jax.Array, nbytes: int, capacity: int, pal_work: int):
     idx16 = inv_srt[1]
     idx_lo = (idx16 & 0xFF).astype(jnp.uint8)
     idx_hi = ((idx16 >> 8) & 0xFF).astype(jnp.uint8)
-    pad = capacity + 1 - (pal_work + 1)
-    if pad > 0:
-        z = jnp.zeros(pad, jnp.uint8)
-        idx_lo = jnp.concatenate([idx_lo, z])
-        idx_hi = jnp.concatenate([idx_hi, z])
-    data = jnp.stack([delta_col, idx_lo[: capacity + 1],
-                      idx_hi[: capacity + 1]], axis=1)
+    data = jnp.stack([delta_col, idx_lo, idx_hi], axis=1)
 
     # palette rows carry exactly the bitmap's nbytes mask bytes (width
     # floored at 4 so the u32 headers in rows 0-1 fit)
@@ -348,13 +347,12 @@ def rle4_payload(rows: jax.Array, nbytes: int, capacity: int, pal_work: int):
     return data, pal, count, U
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
 def anchor_chunk_rle4(inbuf: jax.Array, table: jax.Array,
                       L: int, k: int, nbits: int, cap: int,
-                      nwords: int, nbytes: int, capacity: int,
-                      pal_work: int):
+                      nwords: int, nbytes: int, pal_work: int):
     """Palette-protocol twin of anchor_chunk_rle2: ONE u8 input buffer ->
-    (data u8 [capacity + 1, 3], pal u8 [PAL_CAP + 3,
+    (data u8 [pal_work + 1, 3], pal u8 [PAL_CAP + 3,
     rle4_pal_bytes(nbytes)]).  Host side:
     dispatch_rle4_prefix -> collect_rle4 -> unpack_rle4."""
     from .codec import pack_kmers_packed
@@ -364,7 +362,7 @@ def anchor_chunk_rle4(inbuf: jax.Array, table: jax.Array,
     nmask = jax.lax.slice(inbuf, (n4,), (inbuf.shape[0],))
     canon, _ = pack_kmers_packed(packed, nmask, L, k)
     rows = _query(canon, table, nbits, cap, nwords)
-    data, pal, _count, _u = rle4_payload(rows, nbytes, capacity, pal_work)
+    data, pal, _count, _u = rle4_payload(rows, nbytes, pal_work)
     return data, pal
 
 
@@ -607,16 +605,15 @@ def collect_rle4(prefix, data: jax.Array, pal: jax.Array, pal_work: int,
 
     Returns (data_rows u8 [count, 3], pal_bytes u8 [U, pal width],
     count, U);
-    data_rows/pal_bytes are None on overflow (count > pal_work/capacity
-    or U > PAL_CAP) — the caller re-runs the chunk densely.  `out` /
+    data_rows/pal_bytes are None on overflow (count > pal_work or
+    U > PAL_CAP) — the caller falls back to v3.  `out` /
     `pal_out` reuse caller buffers (fresh multi-MB allocations stall on
     sandbox page faults; see rle_expand_native)."""
     dp, pp = prefix
     first = np.asarray(pp[0][1])
     count = int(first[0, :4].copy().view("<u4")[0])
     U = int(first[1, :4].copy().view("<u4")[0])
-    capacity = data.shape[0] - 1
-    if count > pal_work or count > capacity or U > PAL_CAP:
+    if count > pal_work or count > data.shape[0] - 1 or U > PAL_CAP:
         return None, None, count, U
     if pal_out is None:
         pal_out = np.empty((2 + U, pal.shape[1]), np.uint8)
@@ -707,7 +704,7 @@ def stream_anchor_chunks(codes: np.ndarray, nkmers: int, chunk: int,
     out_b.fill(0)
     out_p.fill(0)
     if proto == 4:
-        rle_buf = np.empty((capacity + 1, 3), np.uint8)
+        rle_buf = np.empty((pal_work + 1, 3), np.uint8)
         pal_buf = np.empty((PAL_CAP + 3, rle4_pal_bytes(nbytes)),
                            np.uint8)
         v3_tmp = np.empty((capacity + 1, rle_row_bytes(nbytes)), np.uint8)
@@ -797,7 +794,7 @@ def stream_anchor_chunks(codes: np.ndarray, nkmers: int, chunk: int,
         if proto == 4:
             combined = anchor_chunk_rle4(
                 ib, table, L, k, bd.nbits, bd.cap, bd.nwords, nbytes,
-                capacity, pal_work)
+                pal_work)
             prefix = dispatch_rle4_prefix(combined[0], combined[1],
                                           hint, pal_hint)
         else:

@@ -398,7 +398,7 @@ def _anchor_rows_body(packed, nmask, table_l, *, k, L, n_shards, nbits,
 
 
 def _anchor_body_pal(packed, nmask, table_l, *, k, L, n_shards, nbits,
-                     cap, stride, nwords, nbytes, capacity, pal_work):
+                     cap, stride, nwords, nbytes, pal_work):
     """Protocol-v4 twin of _anchor_body: each device palette-compacts its
     own slice (ops.anchor.rle4_payload) — 3 B/run data rows + a per-device
     palette instead of v3's 1+nbytes B/run (the same 40%-at-30-genomes /
@@ -409,18 +409,17 @@ def _anchor_body_pal(packed, nmask, table_l, *, k, L, n_shards, nbits,
                              nwords=nwords)
     from ..ops.anchor import rle4_payload
 
-    data, pal, count, U = rle4_payload(rows, nbytes, capacity, pal_work)
-    return (data[:capacity], pal, count[None].astype(jnp.int64),
+    data, pal, count, U = rle4_payload(rows, nbytes, pal_work)
+    return (data, pal, count[None].astype(jnp.int64),
             U[None].astype(jnp.int64))
 
 
 def sharded_anchor_chunk_pal(mesh, sbd: ShardedBucketedDict,
-                             codes_sharded: jax.Array, capacity: int,
-                             pal_work: int):
+                             codes_sharded: jax.Array, pal_work: int):
     """Distributed anchor step with v4 palette outputs.
 
-    Returns (data u8 [S, capacity, 3], pal u8 [S, PAL_CAP + 3, palw],
-    counts i64 [S], us i64 [S], C).  Decode per shard with
+    Returns (data u8 [S, pal_work + 1, 3], pal u8 [S, PAL_CAP + 3,
+    palw], counts i64 [S], us i64 [S], C).  Decode per shard with
     ops.anchor.unpack_rle4 after prefix-slicing both buffers by
     max(counts)/max(us); counts > pal_work or us > PAL_CAP signal
     overflow (re-run the chunk through sharded_anchor_chunk)."""
@@ -432,7 +431,7 @@ def sharded_anchor_chunk_pal(mesh, sbd: ShardedBucketedDict,
     body = partial(
         _anchor_body_pal, k=sbd.k, L=L, n_shards=n, nbits=sbd.nbits,
         cap=sbd.cap, stride=sbd.stride, nwords=sbd.nwords,
-        nbytes=sbd.nbytes_row, capacity=capacity, pal_work=pal_work,
+        nbytes=sbd.nbytes_row, pal_work=pal_work,
     )
     f = shard_map(
         body, mesh=mesh,
@@ -441,7 +440,7 @@ def sharded_anchor_chunk_pal(mesh, sbd: ShardedBucketedDict,
     )
     data, pal, counts, us = jax.jit(f)(packed, nmask, sbd.tables)
     C = L - (sbd.k - 1)
-    return (data.reshape(n, capacity, 3),
+    return (data.reshape(n, pal_work + 1, 3),
             pal.reshape(n, PAL_CAP + 3, rle4_pal_bytes(sbd.nbytes_row)),
             counts.reshape(n), us.reshape(n), C)
 
@@ -629,7 +628,7 @@ def _genome_rows_body(packed, nmask, table_l, *, k, L, nbits, cap,
 
 
 def _genome_anchor_body_pal(packed, nmask, table_l, *, k, L, nbits, cap,
-                            nwords_local, capacity, pal_work):
+                            nwords_local, pal_work):
     """v4-palette twin of _genome_anchor_body: each shard RLE-compacts
     its OWN byte slice (runs are per-slice, so a slice whose 32 genomes
     are conserved compresses independently of the others) — d2h per
@@ -639,19 +638,18 @@ def _genome_anchor_body_pal(packed, nmask, table_l, *, k, L, nbits, cap,
                                nwords_local=nwords_local)
     from ..ops.anchor import rle4_payload
 
-    data, pal, count, U = rle4_payload(rows_l, 4 * nwords_local, capacity,
-                                       pal_work)
-    return (data[:capacity], pal, count[None].astype(jnp.int64),
+    data, pal, count, U = rle4_payload(rows_l, 4 * nwords_local, pal_work)
+    return (data, pal, count[None].astype(jnp.int64),
             U[None].astype(jnp.int64))
 
 
 def genome_sharded_anchor_chunk_pal(mesh, gsd: GenomeShardedDict,
-                                    codes: np.ndarray, capacity: int,
-                                    pal_work: int):
+                                    codes: np.ndarray, pal_work: int):
     """Genome-sharded anchor step with v4 palette outputs.
 
-    codes u8 [C + k - 1] (replicated).  Returns (data u8 [S, capacity,
-    3], pal u8 [S, PAL_CAP + 3, palw], counts i64 [S], us i64 [S], C).
+    codes u8 [C + k - 1] (replicated).  Returns (data u8 [S, pal_work
+    + 1, 3], pal u8 [S, PAL_CAP + 3, palw], counts i64 [S], us i64 [S],
+    C).
     Per-shard decode with ops.anchor.unpack_rle4 yields [C, 4*Wl] byte
     slices (assemble with assemble_genome_shards) and per-position local
     popcounts whose shard-sum is the global occupancy; overflow falls
@@ -664,7 +662,7 @@ def genome_sharded_anchor_chunk_pal(mesh, gsd: GenomeShardedDict,
     packed, nmask, _ = pack_bases_np(np.asarray(codes, np.uint8))
     body = partial(_genome_anchor_body_pal, k=gsd.k, L=L, nbits=gsd.nbits,
                    cap=gsd.cap, nwords_local=gsd.nwords_local,
-                   capacity=capacity, pal_work=pal_work)
+                   pal_work=pal_work)
     f = shard_map(
         body, mesh=mesh,
         in_specs=(P(), P(), P(DICT_AXIS)),
@@ -673,7 +671,7 @@ def genome_sharded_anchor_chunk_pal(mesh, gsd: GenomeShardedDict,
     data, pal, counts, us = jax.jit(f)(jnp.asarray(packed),
                                        jnp.asarray(nmask), gsd.tables)
     C = L - (gsd.k - 1)
-    return (data.reshape(n, capacity, 3),
+    return (data.reshape(n, pal_work + 1, 3),
             pal.reshape(n, PAL_CAP + 3,
                         rle4_pal_bytes(4 * gsd.nwords_local)),
             counts.reshape(n), us.reshape(n), C)

@@ -298,8 +298,8 @@ def test_anchor_chunk_rle4(rng, ngenomes):
     pal_work = A.pal_work_for(P)
     data, pal = A.anchor_chunk_rle4(
         jnp.asarray(inbuf), t1, L, K, bd.nbits, bd.cap,
-        bd.nwords, nbytes, P, pal_work)
-    assert data.shape == (P + 1, 3)
+        bd.nwords, nbytes, pal_work)
+    assert data.shape == (pal_work + 1, 3)
     assert pal.shape == (A.PAL_CAP + 3, A.rle4_pal_bytes(nbytes))
     data_rows, pal_bytes, count, U = A.collect_rle4(
         A.dispatch_rle4_prefix(data, pal), data, pal, pal_work)
@@ -330,7 +330,7 @@ def test_anchor_chunk_rle4(rng, ngenomes):
     # run-count overflow past pal_work must surface with the true count
     data2, pal2 = A.anchor_chunk_rle4(
         jnp.asarray(inbuf), t1, L, K, bd.nbits, bd.cap,
-        bd.nwords, nbytes, P, 4)
+        bd.nwords, nbytes, 4)
     r2, p2, count2, _ = A.collect_rle4(
         A.dispatch_rle4_prefix(data2, pal2), data2, pal2, 4)
     assert r2 is None and count2 == count
@@ -357,7 +357,7 @@ def test_unpack_rle4_python_fallback(rng, monkeypatch):
     pal_work = A.pal_work_for(P)
     data, pal = A.anchor_chunk_rle4(
         jnp.asarray(inbuf), t1, L, K, bd.nbits, bd.cap,
-        bd.nwords, nbytes, P, pal_work)
+        bd.nwords, nbytes, pal_work)
     data_rows, pal_bytes, count, U = A.collect_rle4(
         A.dispatch_rle4_prefix(data, pal), data, pal, pal_work)
     by_n, popc_n = A.unpack_rle4(data_rows, pal_bytes, count, P, nbytes)

@@ -214,7 +214,7 @@ def test_genome_sharded_dict_matches_oracle(setup):
 
     C = len(codes) - K + 1
     data, pal, counts, us, C2 = genome_sharded_anchor_chunk_pal(
-        mesh, gsd, codes, C, C)
+        mesh, gsd, codes, C)
     assert C2 == C
     dnp, pnp = np.asarray(data), np.asarray(pal)
     cnts, uvals = np.asarray(counts), np.asarray(us)
@@ -292,7 +292,7 @@ def test_sharded_anchor_pal_matches_oracle():
 
     chunks, nk = make_halo_chunks(codes, 8, K, chunk_per_dev=128)
     data, pal, counts, us, C = sharded_anchor_chunk_pal(
-        mesh, sbd, chunks, capacity=128, pal_work=128)
+        mesh, sbd, chunks, pal_work=128)
     dnp, pnp = np.asarray(data), np.asarray(pal)
     cnts, uvals = np.asarray(counts), np.asarray(us)
     assert (cnts <= 128).all() and (uvals <= PAL_CAP).all()
@@ -320,7 +320,7 @@ def test_sharded_anchor_pal_matches_oracle():
     # palette-overflow visibility: a tiny pal_work must surface through
     # the returned counts (the production drain then redoes via v3)
     _, _, counts2, _, _ = sharded_anchor_chunk_pal(
-        mesh, sbd, chunks, capacity=128, pal_work=4)
+        mesh, sbd, chunks, pal_work=4)
     assert np.asarray(counts2).max() > 4
 
 

@@ -144,7 +144,7 @@ def main():
     @jax.jit
     def stage_tail4(c, t):
         rows = qg(c, t)
-        data, pal, _cnt, _u = A.rle4_payload(rows, nbytes, P, pal_work)
+        data, pal, _cnt, _u = A.rle4_payload(rows, nbytes, pal_work)
         return data.sum() + pal.sum()
 
     timed("tail rle4_payload (incl gather)",
@@ -170,7 +170,7 @@ def main():
 
         def run4():
             data, pal = A.anchor_chunk_rle4(
-                ib, t1, L, k, bd.nbits, bd.cap, bd.nwords, nbytes, P,
+                ib, t1, L, k, bd.nbits, bd.cap, bd.nwords, nbytes,
                 pal_work)
             prefix = A.dispatch_rle4_prefix(data, pal)
             A.collect_rle4(prefix, data, pal, pal_work)
