@@ -449,7 +449,11 @@ def rle4_colsums(data_rows: np.ndarray, pal_bytes: np.ndarray, count: int,
     return (weights[:, None] * bits).sum(axis=0).astype(np.int64)
 
 
-_PIECE = 1 << 16       # rows per transfer piece (one cached slice program)
+# rows per transfer piece (one cached slice program per size).  Bigger
+# pieces mean fewer d2h calls per chunk (matters when the tunnel is in a
+# dispatch-latency-bound mode) at the cost of coarser over-transfer
+# quantization; env-tunable for link experiments.
+_PIECE = 1 << int(os.environ.get("PANAGRAM_TPU_PIECE_LOG2", "16"))
 # chunks dispatched ahead of the drain point: deeper pipelines hide more
 # d2h behind compute when the link is slow, at ~rle-buffer host memory per
 # in-flight chunk (env-tunable for link-bound deployments)
