@@ -116,15 +116,20 @@ class Index:
 
     def init_config(self, samples_tsv):
         samples = pd.read_csv(samples_tsv, sep="\t")
-        if "name" not in samples.columns or "fasta" not in samples.columns:
-            raise ValueError("Input samples must contain 'name' and 'fasta' column headers")
+        missing = {"name", "fasta"} - set(samples.columns)
+        if missing:
+            raise ValueError(
+                f"samples.tsv is missing required column(s) "
+                f"{sorted(missing)}; expected a tab-separated header with "
+                f"at least 'name' and 'fasta' (optional 'gff')")
         if "gff" not in samples:
             samples["gff"] = pd.NA
 
-        invalid = ~samples["name"].str.fullmatch(NAME_REGEX)
-        if np.any(invalid):
-            bad = "', '".join(samples["name"][invalid])
-            raise ValueError(f"Invalid genome names: '{bad}'\nMust match r'{NAME_REGEX}'.")
+        bad = samples["name"][~samples["name"].str.fullmatch(NAME_REGEX)]
+        if len(bad):
+            raise ValueError(
+                f"genome name(s) {list(bad)} are not usable as file-path "
+                f"components; names must match r'{NAME_REGEX}'")
 
         # resolve fasta/gff paths relative to the samples.tsv location
         src_dir = os.path.dirname(os.path.abspath(samples_tsv))

@@ -34,7 +34,7 @@ def _run_make(target: str, force: bool = False) -> None:
             fcntl.flock(lock, fcntl.LOCK_EX)
         except (ImportError, OSError):
             pass
-        if not force and os.path.exists(os.path.join(_DIR, target)):
+        if not force and not _stale(os.path.join(_DIR, target)):
             return  # another process built it while we waited
         cmd = ["make", "-B", "-C", _DIR, target] if force else \
             ["make", "-C", _DIR, target]
@@ -62,13 +62,34 @@ def rebuild(lib_path: str) -> None:
               file=sys.stderr)
 
 
+def _stale(lib_path: str) -> bool:
+    """True when any source file in the directory is newer than the
+    library — the .so files are gitignored, so a checkout can carry a
+    prebuilt artifact across source edits (a real failure mode: round 3
+    hit a stale .so missing a new symbol)."""
+    try:
+        lib_mtime = os.path.getmtime(lib_path)
+    except OSError:
+        return True
+    for name in os.listdir(_DIR):
+        if name.endswith((".cpp", ".h", ".c")) or name == "Makefile":
+            try:
+                if os.path.getmtime(os.path.join(_DIR, name)) > lib_mtime:
+                    return True
+            except OSError:
+                pass
+    return False
+
+
 def ensure_built(lib_path: str) -> None:
     """Build lib_path's make target once per process if the library is
-    missing; quiet no-op when it exists or the toolchain is absent.
-    Builds only the requested target so one broken target (e.g. missing
-    zlib headers) cannot block an independent one."""
+    missing or older than the sources; quiet no-op when it is current or
+    the toolchain is absent.  Builds only the requested target so one
+    broken target (e.g. missing zlib headers) cannot block an independent
+    one."""
     target = os.path.basename(lib_path)
-    if os.path.exists(lib_path) or target in _tried:
+    if target in _tried or (os.path.exists(lib_path)
+                            and not _stale(lib_path)):
         return
     _tried.add(target)
     try:

@@ -147,6 +147,10 @@ void acpu_anchor(void* hd, const uint8_t* codes, int64_t L, int k,
 void acpu_rle_expand_pal(const uint8_t* rows, const uint8_t* pal, int palw,
                          int64_t count, int nbytes, int64_t total,
                          uint8_t* out_bytes, int32_t* out_popc) {
+  // u32-store fast path requires a 4-byte-aligned output base (row offsets
+  // are multiples of nbytes == 4 then); unaligned callers take memcpy
+  const bool fast4 =
+      nbytes == 4 && (reinterpret_cast<uintptr_t>(out_bytes) & 3) == 0;
   int64_t pos = 0;
   for (int64_t i = 0; i < count; i++) {
     const uint8_t* r = rows + i * 3;
@@ -160,7 +164,7 @@ void acpu_rle_expand_pal(const uint8_t* rows, const uint8_t* pal, int palw,
     for (int b = 0; b < nbytes; b++)
       popc += __builtin_popcount((unsigned)mb[b]);
     int64_t p = pos;
-    if (nbytes == 4) {  // the <=32-genome fast path: one u32 store/position
+    if (fast4) {  // the <=32-genome fast path: one u32 store/position
       uint32_t v;
       std::memcpy(&v, mb, 4);
       uint32_t* ob = reinterpret_cast<uint32_t*>(out_bytes) + p;
@@ -176,6 +180,8 @@ void acpu_rle_expand_pal(const uint8_t* rows, const uint8_t* pal, int palw,
 void acpu_rle_expand(const uint8_t* rows, int64_t count, int nbytes,
                      int64_t total, uint8_t* out_bytes, int32_t* out_popc) {
   const int rowbytes = (1 + nbytes) < 4 ? 4 : (1 + nbytes);
+  const bool fast4 =
+      nbytes == 4 && (reinterpret_cast<uintptr_t>(out_bytes) & 3) == 0;
   int64_t pos = 0;
   for (int64_t i = 0; i < count; i++) {
     const uint8_t* r = rows + i * rowbytes;
@@ -187,7 +193,7 @@ void acpu_rle_expand(const uint8_t* rows, int64_t count, int nbytes,
     for (int b = 0; b < nbytes; b++)
       popc += __builtin_popcount((unsigned)r[1 + b]);
     int64_t p = pos;
-    if (nbytes == 4) {  // the <=32-genome fast path: one u32 store/position
+    if (fast4) {  // the <=32-genome fast path: one u32 store/position
       uint32_t v;
       std::memcpy(&v, r + 1, 4);
       uint32_t* ob = reinterpret_cast<uint32_t*>(out_bytes) + p;

@@ -76,6 +76,17 @@ def rle_expand_pal_native(rows: np.ndarray, pal: np.ndarray, count: int,
     ops.anchor.unpack_rle4's decode."""
     rows = np.ascontiguousarray(rows[:count], np.uint8)
     pal = np.ascontiguousarray(pal, np.uint8)
+    # a corrupt/truncated palette header (idx >= palette rows) would make
+    # the C expander read out of bounds — cheap two-stage guard: the high
+    # index byte bounds the largest possible index (common case: one
+    # strided byte max), the precise check only runs when that can exceed
+    # the palette
+    U = pal.shape[0]
+    if count and int(rows[:, 2].max()) * 256 + 255 >= U:
+        idx = rows[:, 1].astype(np.int32) | (rows[:, 2].astype(np.int32) << 8)
+        if int(idx.max()) >= U:
+            raise ValueError(
+                f"palette index {int(idx.max())} out of range (U={U})")
     if out is not None:
         out_b, out_p = out
         assert out_b.shape == (total, nbytes) and out_b.dtype == np.uint8

@@ -501,16 +501,20 @@ def _dispatch_prefix(combined: jax.Array, target: int, piece_rows: int):
     return pieces
 
 
-def _fetch_rows(pieces, combined: jax.Array, need: int, buf: np.ndarray,
-                piece_rows: int = _PIECE) -> np.ndarray:
+def _fetch_rows(pieces, combined: jax.Array, need: int,
+                buf: np.ndarray | None, piece_rows: int = _PIECE
+                ) -> np.ndarray:
     """Assemble the first `need` rows from dispatched pieces into `buf`,
     fetching any uncovered tail synchronously through the same cached
     slice programs.  Returns buf[:need] (or a single piece's view when it
-    already covers the read — no copy)."""
+    already covers the read — no copy).  buf=None allocates lazily, only
+    when the fast path misses."""
     total_rows = combined.shape[0]
     first_np = np.asarray(pieces[0][1])
     if pieces[0][0] == 0 and need <= first_np.shape[0]:
         return first_np[:need]
+    if buf is None:
+        buf = np.empty((need, combined.shape[1]), np.uint8)
     assert buf.shape[0] >= need and buf.shape[1] == combined.shape[1]
     covered = 0
     for sa, arr in pieces:
@@ -565,15 +569,13 @@ def collect_rle2(pieces, combined: jax.Array, out: np.ndarray | None = None):
     through the same cached slice program.  `out` (u8 [>= count + 1,
     rowb]) reuses a caller buffer for the assembly — fresh multi-MB
     allocations stall on sandbox page faults (see rle_expand_native)."""
-    total_rows, rowb = combined.shape
+    total_rows = combined.shape[0]
     first = np.asarray(pieces[0][1])
     count = int(first[0, :4].copy().view("<u4")[0])
     capacity = total_rows - 2
     if count > capacity:
         return None, count
     need = count + 1                      # rows including the header
-    if out is None:
-        out = np.empty((need, rowb), np.uint8)
     rows = _fetch_rows(pieces, combined, need, out)
     return rows[1:need], count
 
@@ -619,11 +621,7 @@ def collect_rle4(prefix, data: jax.Array, pal: jax.Array, pal_work: int,
     U = int(first[1, :4].copy().view("<u4")[0])
     if count > pal_work or count > data.shape[0] - 1 or U > PAL_CAP:
         return None, None, count, U
-    if pal_out is None:
-        pal_out = np.empty((2 + U, pal.shape[1]), np.uint8)
     pal_rows = _fetch_rows(pp, pal, 2 + U, pal_out, _PAL_PIECE)
-    if out is None:
-        out = np.empty((max(count, 1), 3), np.uint8)
     data_rows = _fetch_rows(dp, data, count, out, _PIECE)
     return data_rows, pal_rows[2: 2 + U], count, U
 
@@ -638,6 +636,10 @@ def rle4_to_v3_rows(data_rows: np.ndarray, pal_bytes: np.ndarray,
     t = t[:count]
     idx = data_rows[:count, 1].astype(np.int32) \
         | (data_rows[:count, 2].astype(np.int32) << 8)
+    # corrupt/truncated palettes (idx >= U) must not raise an uncaught
+    # IndexError in this decode path — clamp; device-produced data never
+    # trips this (the native expander raises a clean ValueError instead)
+    idx = np.minimum(idx, pal_bytes.shape[0] - 1)
     t[:, 0] = data_rows[:count, 0]
     t[:, 1: 1 + nbytes] = pal_bytes[idx][:, :nbytes]
     return t

@@ -398,7 +398,7 @@ def _anchor_rows_body(packed, nmask, table_l, *, k, L, n_shards, nbits,
 
 
 def _anchor_body_pal(packed, nmask, table_l, *, k, L, n_shards, nbits,
-                     cap, stride, nwords, nbytes, pal_work):
+                     cap, nwords, nbytes, pal_work):
     """Protocol-v4 twin of _anchor_body: each device palette-compacts its
     own slice (ops.anchor.rle4_payload) — 3 B/run data rows + a per-device
     palette instead of v3's 1+nbytes B/run (the same 40%-at-30-genomes /
@@ -430,7 +430,7 @@ def sharded_anchor_chunk_pal(mesh, sbd: ShardedBucketedDict,
     packed, nmask = _pack_rows(codes_sharded)
     body = partial(
         _anchor_body_pal, k=sbd.k, L=L, n_shards=n, nbits=sbd.nbits,
-        cap=sbd.cap, stride=sbd.stride, nwords=sbd.nwords,
+        cap=sbd.cap, nwords=sbd.nwords,
         nbytes=sbd.nbytes_row, pal_work=pal_work,
     )
     f = shard_map(
