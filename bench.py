@@ -156,6 +156,47 @@ def main():
         _log(f"bench: device rep {total/dt/1e6:.2f} Mkmers/s")
     _log(f"bench: device {device_rate/1e6:.2f} Mkmers/s")
 
+    # device-COMPUTE-only rate: the fused RLE chunk program alone
+    # (dispatch -> block_until_ready, inputs resident, no transfers or
+    # host decode).  The tunnel runs in several throughput modes
+    # (ROUND3_NOTES.md "Tunnel modes"); this number is the window-proof
+    # kernel-progress signal — compare IT across rounds, not the
+    # end-to-end absolute.
+    import jax.numpy as jnp
+
+    from panagram_tpu.ops.anchor import (
+        anchor_chunk_rle2,
+        anchor_chunk_rle4,
+        pack_bases_combined,
+        pal_work_for,
+    )
+
+    inbuf, L = pack_bases_combined(anchor_codes[: chunk + k - 1])
+    ib = jnp.asarray(inbuf)
+    jax.block_until_ready(ib)
+    pal_work = pal_work_for(chunk)
+
+    if rle_proto(nbytes) == 4:
+        def compute_once():
+            out = anchor_chunk_rle4(ib, t1, L, k, bd.nbits, bd.cap,
+                                    bd.nwords, nbytes, pal_work)
+            jax.block_until_ready(out)
+    else:
+        def compute_once():
+            out = anchor_chunk_rle2(ib, t1, L, k, bd.nbits, bd.cap,
+                                    bd.nwords, nbytes, chunk)
+            jax.block_until_ready(out)
+
+    compute_once()  # already compiled by the streamed runs; warm anyway
+    compute_rate = 0.0
+    for _ in range(max(reps, 3)):
+        t0 = time.perf_counter()
+        compute_once()
+        compute_rate = max(compute_rate,
+                           (L - k + 1) / (time.perf_counter() - t0))
+    _log(f"bench: device-compute-only {compute_rate/1e6:.2f} Mkmers/s "
+         f"(fused rle chunk, no transfers)")
+
     # CPU baseline: the multithreaded C++ open-addressed-hash anchorer
     # (panagram_tpu/native/anchor_cpu.cpp) standing in for KMC +
     # cpp/run_anchor — strictly FAVOURABLE to the reference (hash probe
@@ -205,6 +246,7 @@ def main():
         "value": round(device_rate),
         "unit": "kmers/s",
         "vs_baseline": round(device_rate / cpu_rate, 3),
+        "device_compute_kmers_per_s": round(compute_rate),
     }))
 
 

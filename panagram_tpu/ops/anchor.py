@@ -162,6 +162,33 @@ def _run_structure(rows: jax.Array):
     return change, pos, count, delta
 
 
+def _compact_runs(rows: jax.Array, change: jax.Array, delta: jax.Array,
+                  prefix: int):
+    """Stream compaction of the run rows: one STABLE multi-operand sort
+    (non-changes sort last; stability preserves position order) + a static
+    prefix slice.  The equivalent .at[slots].set scatter measured 168 ms
+    vs ~7 ms for this sort at a 4M chunk in the same tunnel window
+    (tools/chunk_ablate.py, round 4) — XLA scatter on TPU is issue-rate
+    bound per row while the sort runs at memory bandwidth.
+
+    Returns (delta u8 [prefix], masks u32 [prefix, W]); entries past the
+    true run count are GARBAGE (not zeros) — every consumer reads only
+    `count` rows."""
+    P, W = rows.shape
+    n = min(prefix, P)
+    ops = (~change, delta) + tuple(rows[:, w] for w in range(W))
+    srt = jax.lax.sort(ops, num_keys=1, is_stable=True)
+    delta_c = jax.lax.slice(srt[1], (0,), (n,))
+    rmask = jnp.stack(
+        [jax.lax.slice(srt[2 + w], (0,), (n,)) for w in range(W)], axis=1)
+    if n < prefix:
+        delta_c = jnp.concatenate(
+            [delta_c, jnp.zeros(prefix - n, delta_c.dtype)])
+        rmask = jnp.concatenate(
+            [rmask, jnp.zeros((prefix - n, W), rmask.dtype)])
+    return delta_c, rmask
+
+
 def rle_payload(rows: jax.Array, nbytes: int, capacity: int):
     """Shared RLE compaction (protocol v3): mask rows u32 [P, W] ->
     (out u8 [capacity + 1, rle_row_bytes(nbytes)], count i32).
@@ -173,21 +200,18 @@ def rle_payload(rows: jax.Array, nbytes: int, capacity: int):
     this rig.  Runs longer than 255 positions carry injected continuation
     rows (see _run_structure).  Popcounts and per-genome totals are
     host-derived from the mask bytes (unpack_rle2 / rle2_colsums), so the
-    device ships only what cannot be recomputed.  Rows past `capacity`
-    are dropped into the final trash row; `count` always reports the true
-    row count so the caller can detect overflow."""
-    P = rows.shape[0]
-    by = masks_to_bytes(rows)[:, :nbytes]
+    device ships only what cannot be recomputed.  Compaction is the
+    sort-based _compact_runs; rows past `count` are garbage and rows past
+    `capacity` are simply not represented — `count` always reports the
+    true run count so the caller can detect overflow."""
     change, pos, count, delta = _run_structure(rows)
-    slots = jnp.where(change & (pos < capacity), pos, capacity)
-
+    delta_c, rmask = _compact_runs(rows, change, delta, capacity + 1)
+    by = masks_to_bytes(rmask)[:, :nbytes]
     rowb = rle_row_bytes(nbytes)
-    parts = [delta[:, None], by]
+    parts = [delta_c[:, None], by]
     if rowb > 1 + nbytes:
-        parts.append(jnp.zeros((P, rowb - 1 - nbytes), jnp.uint8))
-    payload = jnp.concatenate(parts, axis=1)
-    out = jnp.zeros((capacity + 1, rowb), jnp.uint8).at[slots].set(
-        payload, mode="drop")
+        parts.append(jnp.zeros((capacity + 1, rowb - 1 - nbytes), jnp.uint8))
+    out = jnp.concatenate(parts, axis=1)
     return out, count
 
 
@@ -288,21 +312,15 @@ def rle4_payload(rows: jax.Array, nbytes: int, pal_work: int):
     protocol comment above for the layout.
 
     A chunk is only valid under v4 when count <= pal_work (the caller
-    falls back to v3 otherwise), so delta and mask words compact through
-    ONE scatter into a [pal_work + 1, 1 + W] u32 buffer — the per-chunk
-    compaction scatters are the tail's dominant measured cost
-    (tools/tail_ablate.py: scatters ~30 ms vs ~0 for flags/scans/sorts
-    at a 4M chunk), so one wide scatter beats two narrower ones."""
+    falls back to v3 otherwise), so delta and mask words compact to a
+    [pal_work + 1] prefix via the sort-based _compact_runs (the scatter
+    this replaced measured 168 ms/chunk — the single dominant cost of the
+    whole anchor program; tools/chunk_ablate.py round 4).  Rows past
+    `count` are garbage; the palette stage masks them by run index and
+    the host reads only `count` rows."""
     P, W = rows.shape
     change, pos, count, delta = _run_structure(rows)
-
-    slots = jnp.where(change & (pos < pal_work), pos, pal_work)
-    payload = jnp.concatenate(
-        [delta.astype(jnp.uint32)[:, None], rows], axis=1)
-    buf = jnp.zeros((pal_work + 1, 1 + W), jnp.uint32).at[slots].set(
-        payload, mode="drop")
-    delta_col = buf[:, 0].astype(jnp.uint8)
-    rmask = buf[:, 1:]
+    delta_col, rmask = _compact_runs(rows, change, delta, pal_work + 1)
 
     # palette grouping: sort runs by (validity, mask words) carrying the
     # run index; valid runs sort first, equal masks group together

@@ -184,6 +184,12 @@ class DeviceDictBuilder:
 
     def _ensure_capacity(self, needed: int):
         cap = 1 << max(int(np.ceil(np.log2(max(needed, 2)))), 10)
+        # loud capacity guard before allocating (the eventual bucket table
+        # is the larger footprint; failing here names the --mesh fix
+        # instead of OOMing mid-merge) — ops.lookup.check_hbm_budget
+        from .lookup import check_hbm_budget
+
+        check_hbm_budget(cap, self.nwords, what="device dictionary builder")
         if self.keys is None:
             self.keys = jnp.full(cap, SENTINEL, jnp.uint64)
             self.masks = jnp.zeros((cap, self.nwords), jnp.uint32)

@@ -61,6 +61,84 @@ def mix64(x: jax.Array) -> jax.Array:
     return x
 
 
+def table_geometry(D: int, W: int, mean_load: int | None = None):
+    """Bucket-table geometry for D keys x W mask words:
+    (nbits, cap, stride).  Shared sizing rule of every builder."""
+    if mean_load is None:
+        mean_load = BucketedDict.MEAN_LOAD
+    slot_w = 2 + W
+    stride = 64
+    while stride // slot_w < 3 * mean_load:
+        stride += 64
+    cap = stride // slot_w
+    nbits = max(int(np.ceil(np.log2(max(D / mean_load, 1)))), 2)
+    return nbits, cap, stride
+
+
+def hbm_limit_bytes() -> int:
+    """Per-chip HBM budget for capacity guards.  Real limit from the
+    backend when available; PANAGRAM_TPU_HBM_GB overrides (e.g. for
+    planning runs on the CPU backend)."""
+    env = os.environ.get("PANAGRAM_TPU_HBM_GB")
+    if env:
+        return int(float(env) * (1 << 30))
+    try:
+        import jax as _jax
+
+        stats = _jax.devices()[0].memory_stats() or {}
+        limit = int(stats.get("bytes_limit", 0))
+        if limit > 0:
+            return limit
+    except Exception:
+        pass
+    return 16 << 30   # v5e HBM
+
+
+def check_hbm_budget(D: int, W: int, n_shards: int = 1,
+                     what: str = "dictionary"):
+    """Fail LOUDLY (before any allocation) when a requested dictionary
+    cannot fit one chip's HBM, instead of OOM-crashing mid-build.
+
+    The budget math (SURVEY §7.4.2 — 100 plant genomes reach 1e9-1e10
+    distinct k-mers vs 16 GB HBM):
+
+      table bytes   = 2^ceil(log2(D / MEAN_LOAD)) * stride * 4
+                    ~ (stride * 4 / MEAN_LOAD) * D ... 2x that after
+                      pow2 rounding
+      per key       ~ 43-85 B  (W=1, stride 64)
+                    ~ 85-171 B (W=4, stride 128)
+      during layout + (8 + 4W) * D for the keys/masks operands
+
+    One 16 GB chip therefore holds ~1.3e8 keys at W=1 / ~6e7 at W=4
+    (with ~20% reserved for anchor-chunk buffers); beyond that the build
+    must hash-shard across chips: `panagram_tpu index --mesh N` splits
+    the table by key range, so capacity scales linearly with N."""
+    if D <= 0:
+        return
+    per_shard = -(-D // max(n_shards, 1))
+    nbits, cap, stride = table_geometry(per_shard, W)
+    table = (1 << nbits) * stride * 4
+    layout = (8 + 4 * W) * per_shard * 2   # sort operands, transient
+    need = table + layout
+    budget = int(hbm_limit_bytes() * 0.8)  # reserve for chunk buffers
+    if need > budget:
+        # smallest shard count whose per-shard table fits
+        n_fit = n_shards
+        while n_fit < 4096:
+            n_fit *= 2
+            nb2, _, _ = table_geometry(-(-D // n_fit), W)
+            if (1 << nb2) * stride * 4 + (8 + 4 * W) * (-(-D // n_fit)) * 2 \
+                    <= budget:
+                break
+        raise RuntimeError(
+            f"{what}: {D:,} keys x {W} mask words needs ~{need / 1e9:.1f} GB "
+            f"per chip (bucket table {table / 1e9:.1f} GB + layout "
+            f"{layout / 1e9:.1f} GB) but the per-chip budget is "
+            f"~{budget / 1e9:.1f} GB. Shard the dictionary across chips: "
+            f"panagram_tpu index --mesh {max(n_fit, 2)} (key-range "
+            f"hash sharding; capacity scales linearly with mesh size).")
+
+
 @dataclasses.dataclass
 class BucketedDict:
     """Single-probe bucketed hash layout of a pan-kmer dictionary."""
@@ -87,15 +165,10 @@ class BucketedDict:
         if np.any(m == U64(0xFFFFFFFFFFFFFFFF)):
             raise RuntimeError("key mixes to the reserved all-ones value")
 
-        slot_w = 2 + W
         # lane-aligned stride: smallest multiple of 64 u32 that fits a
         # safe capacity (>= 3x mean load so overflow is essentially never)
-        stride = 64
-        while stride // slot_w < 3 * cls.MEAN_LOAD:
-            stride += 64
-        cap = stride // slot_w
-
-        nbits = max(int(np.ceil(np.log2(max(D / cls.MEAN_LOAD, 1)))), 2)
+        nbits, cap, stride = table_geometry(D, W)
+        check_hbm_budget(D, W, what="bucketed dict (host layout)")
         for attempt in range(8):
             table, overflow = cls._layout(m, masks, nbits, cap, stride)
             if overflow == 0:
@@ -160,14 +233,9 @@ class BucketedDict:
         m = keys if mixed else jnp.where(
             keys == U64(0xFFFFFFFFFFFFFFFF), keys, mix64(keys))
 
-        slot_w = 2 + W
-        stride = 64
-        while stride // slot_w < 3 * cls.MEAN_LOAD:
-            stride += 64
-        cap = stride // slot_w
-
-        nbits = max(int(np.ceil(np.log2(max(D / cls.MEAN_LOAD, 1)))),
-                    min_nbits)
+        nbits, cap, stride = table_geometry(D, W)
+        nbits = max(nbits, min_nbits)
+        check_hbm_budget(D, W, what="bucketed dict (device layout)")
         for _ in range(8):
             table, overflow = _layout_device(m, masks, nbits, cap, stride)
             if int(overflow) == 0:
@@ -333,10 +401,7 @@ def bucket_query_sorted(canon: jax.Array, table: jax.Array,
     # they are exempt from the span requirement
     is_pad = (qhi == S32) & (qlo == S32)
     flags = ~((brow - jnp.repeat(blo, tile_q) < span) | is_pad)
-    # int32 running index (NOT jnp.nonzero: under x64 its int64 cumsum
-    # lowers to a paired-u32 reduce-window that exceeds TPU scoped VMEM)
-    cnt = jnp.cumsum(flags.astype(jnp.int32)) - 1
-    n_out = cnt[-1] + 1
+    n_out = jnp.sum(flags.astype(jnp.int32))
     ok = n_out <= fixup
 
     def fast(_):
@@ -344,12 +409,16 @@ def bucket_query_sorted(canon: jax.Array, table: jax.Array,
                                  table.reshape(Bp, stride * pack),
                                  nbits, cap, nwords, span=span, pack=pack,
                                  tile_q=tile_q)
-        # compact the out-of-span positions by scatter (the rle_payload
-        # pattern) and fix them up with a narrow gather probe; slots past
-        # n_out stay 0 and are masked by valid_fix
-        slots = jnp.where(flags & (cnt < fixup), cnt, fixup)
-        idx_out = jnp.zeros(fixup + 1, jnp.int32).at[slots].set(
-            jnp.arange(Qp, dtype=jnp.int32), mode="drop")[:fixup]
+        # compact the out-of-span positions with a stable 2-operand sort
+        # (flagged first, order preserved) and fix them up with a narrow
+        # gather probe — the scatter this replaced is issue-rate bound
+        # (see ops.anchor._compact_runs).  idx_out is a slice of a
+        # permutation: entries past n_out are DISTINCT unflagged positions
+        # whose fixup writes below are masked to their original rows.
+        srt_f = jax.lax.sort((jnp.logical_not(flags),
+                              jnp.arange(Qp, dtype=jnp.int32)),
+                             num_keys=1, is_stable=True)
+        idx_out = jax.lax.slice(srt_f[1], (0,), (fixup,))
         valid_fix = jnp.arange(fixup, dtype=jnp.int32) < n_out
         sub_m = (qhi[idx_out].astype(jnp.uint64) << U64(32)) \
             | qlo[idx_out].astype(jnp.uint64)

@@ -465,3 +465,25 @@ def test_cpu_anchorer_matches_oracle():
         by, popc = ca.anchor(seq_to_codes(seq), K, nbytes, threads=2)
         assert np.array_equal(by, masks_to_bytes_np(want, nbytes))
         assert np.array_equal(popc, popcount_np(want))
+
+
+def test_hbm_budget_guard(monkeypatch):
+    """Over-budget dictionaries fail LOUDLY with an actionable --mesh
+    message before any allocation (SURVEY §7.4.2 scale guard); sharding
+    the same key count across enough chips passes."""
+    import pytest
+
+    from panagram_tpu.ops.lookup import check_hbm_budget, table_geometry
+
+    monkeypatch.setenv("PANAGRAM_TPU_HBM_GB", "16")
+    # ~1.3e8 keys at W=1 fit one 16 GB chip; 2e9 cannot
+    check_hbm_budget(int(1e8), 1)
+    with pytest.raises(RuntimeError, match="--mesh"):
+        check_hbm_budget(int(2e9), 1)
+    # the suggested fix works: enough shards bring the per-shard table back
+    check_hbm_budget(int(2e9), 1, n_shards=32)
+    # W=4 (100+ genomes) halves per-chip capacity
+    with pytest.raises(RuntimeError, match="mask words"):
+        check_hbm_budget(int(5e8), 4)
+    nbits, cap, stride = table_geometry(int(1e8), 1)
+    assert stride == 64 and cap == 21

@@ -102,17 +102,21 @@ def main():
 
     U64 = np.uint64
 
+    # NOTE: the table must be an ARGUMENT of every jitted fn — a closed-over
+    # device array is embedded as a constant in the serialized program, and
+    # the 256 MB payload blows the remote-compile request limit (HTTP 413).
+
     @jax.jit
-    def f_base(p, m):
+    def f_base(p, m, t):
         return (p.astype(jnp.uint32).sum() + m.astype(jnp.uint32).sum())
 
     @jax.jit
-    def f_pack(p, m):
+    def f_pack(p, m, t):
         canon, _ = pack_kmers_packed(p, m, L, k)
         return (canon & U64(0xFFFF)).astype(jnp.uint32).sum()
 
     @jax.jit
-    def f_sort(p, m):
+    def f_sort(p, m, t):
         canon, _ = pack_kmers_packed(p, m, L, k)
         mm = mix64(canon)
         mhi = (mm >> U64(32)).astype(jnp.uint32)
@@ -121,7 +125,7 @@ def main():
         qhi, qlo, idxs = jax.lax.sort((mhi, mlo, idx), num_keys=1)
         return qhi.sum() + qlo.sum() + idxs.sum().astype(jnp.uint32)
 
-    def _probe_parts(p, m):
+    def _probe_parts(p, m, t1):
         """sorted queries -> (probe rows [W, Qp], qhi, qlo, idxs)."""
         canon, _ = pack_kmers_packed(p, m, L, k)
         mm = mix64(canon)
@@ -156,22 +160,22 @@ def main():
         return rows_t, qhi, qlo, idxs, Q0
 
     @jax.jit
-    def f_probe_noinv(p, m):
-        rows_t, _qh, _ql, _ix, _Q0 = _probe_parts(p, m)
+    def f_probe_noinv(p, m, t):
+        rows_t, _qh, _ql, _ix, _Q0 = _probe_parts(p, m, t)
         return rows_t.sum(dtype=jnp.uint32)
 
     @jax.jit
-    def f_bqs(p, m):
+    def f_bqs(p, m, t):
         canon, _ = pack_kmers_packed(p, m, L, k)
-        rows = bucket_query_sorted(canon, t1, bd.nbits, bd.cap, W)
+        rows = bucket_query_sorted(canon, t, bd.nbits, bd.cap, W)
         return rows.sum(dtype=jnp.uint32)
 
     @jax.jit
-    def f_inv_scatter(p, m):
+    def f_inv_scatter(p, m, t):
         """inverse permutation via scatter instead of 2-array sort
         (fixup omitted: its cost rides in both A and B of the sort-vs-
         scatter comparison via f_bqs - f_probe_noinv)."""
-        rows_t, _qh, _ql, idxs, Q0 = _probe_parts(p, m)
+        rows_t, _qh, _ql, idxs, Q0 = _probe_parts(p, m, t)
         outs = []
         for w in range(W):
             o = jnp.zeros(idxs.shape[0], jnp.uint32).at[idxs].set(
@@ -180,20 +184,52 @@ def main():
         return sum(o.sum(dtype=jnp.uint32) for o in outs)
 
     @jax.jit
-    def f_gather(p, m):
+    def f_gather(p, m, t):
         canon, _ = pack_kmers_packed(p, m, L, k)
-        rows = bucket_query(canon, t1, bd.nbits, bd.cap, W)
+        rows = bucket_query(canon, t, bd.nbits, bd.cap, W)
         return rows.sum(dtype=jnp.uint32)
 
     @jax.jit
-    def f_v4(p, m):
+    def f_v4(p, m, t):
         canon, _ = pack_kmers_packed(p, m, L, k)
-        rows = bucket_query_sorted(canon, t1, bd.nbits, bd.cap, W)
+        rows = bucket_query_sorted(canon, t, bd.nbits, bd.cap, W)
         data, pal, count, u = rle4_payload(rows, nbytes, pal_work)
         return (data.astype(jnp.uint32).sum() + pal.astype(jnp.uint32).sum()
                 + count.astype(jnp.uint32) + u.astype(jnp.uint32))
 
-    run = lambda f: (lambda: np.asarray(f(packed_d, nmask_d)))  # noqa: E731
+    # ---- tail sub-stages (each = probe + a tail prefix; deltas between
+    # consecutive programs isolate the scans / scatter / palette) ----
+    from panagram_tpu.ops.anchor import _run_structure, rle_payload
+
+    def _rows(p, m, t):
+        canon, _ = pack_kmers_packed(p, m, L, k)
+        return bucket_query_sorted(canon, t, bd.nbits, bd.cap, W)
+
+    @jax.jit
+    def f_runstruct(p, m, t):
+        rows = _rows(p, m, t)
+        change, pos, count, delta = _run_structure(rows)
+        return (change.sum().astype(jnp.uint32) + pos[-1].astype(jnp.uint32)
+                + count.astype(jnp.uint32) + delta.astype(jnp.uint32).sum()
+                + rows.sum(dtype=jnp.uint32))
+
+    @jax.jit
+    def f_compact(p, m, t):
+        from panagram_tpu.ops.anchor import _compact_runs
+
+        rows = _rows(p, m, t)
+        change, pos, count, delta = _run_structure(rows)
+        delta_c, rmask = _compact_runs(rows, change, delta, pal_work + 1)
+        return (delta_c.astype(jnp.uint32).sum()
+                + rmask.sum(dtype=jnp.uint32) + count.astype(jnp.uint32))
+
+    @jax.jit
+    def f_v3tail(p, m, t):
+        rows = _rows(p, m, t)
+        out, count = rle_payload(rows, nbytes, chunk)
+        return out.astype(jnp.uint32).sum() + count.astype(jnp.uint32)
+
+    run = lambda f: (lambda: np.asarray(f(packed_d, nmask_d, t1)))  # noqa: E731
 
     t_base = timed("base (input reduce)", run(f_base))
     t_pack = timed("pack", run(f_pack))
@@ -203,6 +239,9 @@ def main():
     t_scat = timed("probe + scatter-inverse", run(f_inv_scatter))
     t_gath = timed("pack+gather probe", run(f_gather))
     t_v4 = timed("full v4 chunk (reduced)", run(f_v4))
+    t_rs = timed("probe + run_structure", run(f_runstruct))
+    t_cp = timed("probe + runstruct + compact", run(f_compact))
+    t_v3t = timed("probe + v3 tail", run(f_v3tail))
 
     print("\n--- deltas ---")
     print(f"pack:                 {1e3*(t_pack-t_base):7.1f} ms")
@@ -214,6 +253,10 @@ def main():
     print(f"gather-probe total:   {1e3*(t_gath-t_sort+t_sort-t_pack):7.1f}"
           f" ms (vs merge {1e3*(t_bqs-t_pack):7.1f})")
     print(f"v4 tail:              {1e3*(t_v4-t_bqs):7.1f} ms")
+    print(f"  run_structure:      {1e3*(t_rs-t_bqs):7.1f} ms")
+    print(f"  concat + scatter:   {1e3*(t_cp-t_rs):7.1f} ms")
+    print(f"  palette stages:     {1e3*(t_v4-t_cp):7.1f} ms")
+    print(f"v3 tail (for ref):    {1e3*(t_v3t-t_bqs):7.1f} ms")
     print(f"full v4:              {1e3*(t_v4-t_base):7.1f} ms "
           f"({chunk/ (t_v4-t_base) /1e6:.1f} Mkmers/s device)")
 
