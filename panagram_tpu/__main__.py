@@ -56,10 +56,17 @@ def _run_index(args):
         raise SystemExit(
             "--mesh-strategy requires --mesh N (it selects how the mesh "
             "is sharded)")
-    if args.mesh and args.num_processes > 1:
+    if args.mesh and args.num_processes > 1 and not args.coordinator:
         raise SystemExit(
-            "--mesh (single-process multi-device) and --num-processes "
-            "(multi-host file-coordinated) are separate modes; pick one")
+            "--mesh with --num-processes runs ONE collective engine across "
+            "hosts (jax.distributed) and needs --coordinator host:port")
+    if args.mesh and args.num_processes > 1:
+        # must run before ANY backend-initializing jax call (the engine
+        # imports below deliberately avoid touching the backend)
+        from .parallel.mesh import initialize_distributed
+
+        initialize_distributed(args.coordinator, args.num_processes,
+                               args.process_id)
     from .pipeline import build_index
     from .index import Index
 
@@ -78,6 +85,27 @@ def _run_index(args):
         idx = Index(args.input, mode="w", prefix=args.prefix, **params)
         print(f"Prepared index at {idx.prefix}. "
               f"Run 'panagram_tpu index {idx.prefix}' to build.")
+    elif args.mesh and args.num_processes > 1:
+        # multi-host collective build: every process joins ONE global mesh
+        # (jax.distributed + Mesh over jax.devices()); the shard_map
+        # engines are unchanged — their all_to_all/psum now cross hosts.
+        # Every process runs the identical build (host decode included, so
+        # collective call sequences stay in lockstep); non-primary
+        # processes write to a '<prefix>.pN' mirror, which doubles as a
+        # cross-host byte-identity check.  Run all processes from
+        # equivalent stage states (fresh dirs or --force): divergent
+        # mtime-skips would desynchronize the collectives.
+        if not args.prefix:
+            raise SystemExit("--mesh with --num-processes requires -o PREFIX")
+        prefix = args.prefix.rstrip("/")
+        if args.process_id:
+            prefix += f".p{args.process_id}"
+        idx = build_index(args.input, prefix=prefix, force=args.force,
+                          device_dict=args.device_dict,
+                          mesh_devices=args.mesh,
+                          mesh_strategy=args.mesh_strategy, **params)
+        print(f"Index built at {idx.prefix} "
+              f"(process {args.process_id}/{args.num_processes})")
     elif args.num_processes > 1:
         from .parallel.distributed import build_index_distributed
 

@@ -727,6 +727,7 @@ class Genome:
             unpack_rle2,
             unpack_rle4,
         )
+        from .parallel.mesh import host_view
         from .parallel.shard import (
             make_halo_chunks,
             prefix_rows,
@@ -780,14 +781,14 @@ class Genome:
             start, m, halo, outs = pending.pop(0)
             if proto == 4:
                 data, pal, counts, us = outs
-                cnts = np.asarray(counts)
-                uvals = np.asarray(us)
+                cnts = host_view(counts)
+                uvals = host_view(us)
                 if np.any(cnts > pal_work) or np.any(uvals > PAL_CAP):
                     # palette overflow on some device: redo through v3
                     combined, counts, _ = sharded_anchor_chunk(
                         mesh, sharded, halo, C_dev)
                     by, popc_np, chunk_colsums = _decode_v3(
-                        combined, np.asarray(counts), m)
+                        combined, host_view(counts), m)
                     return start, m, by, popc_np, chunk_colsums
                 dpref, _ = prefix_rows(data, int(cnts.max()))
                 ppref, _ = prefix_rows(pal, 2 + int(uvals.max()))
@@ -810,13 +811,13 @@ class Genome:
                         np.concatenate(parts_popc), chunk_colsums)
 
             combined, counts = outs
-            cnts = np.asarray(counts)
+            cnts = host_view(counts)
             if np.any(cnts > capacity):
                 # RLE overflow on some device: redo the chunk with a
                 # capacity that can never overflow (count <= C_dev)
                 combined, counts, _ = sharded_anchor_chunk(
                     mesh, sharded, halo, C_dev)
-                cnts = np.asarray(counts)
+                cnts = host_view(counts)
             by, popc_np, chunk_colsums = _decode_v3(combined, cnts, m)
             return start, m, by, popc_np, chunk_colsums
 
@@ -857,6 +858,7 @@ class Genome:
             rle_proto,
             unpack_rle4,
         )
+        from .parallel.mesh import host_view
         from .parallel.shard import (
             assemble_genome_shards,
             genome_sharded_anchor_chunk,
@@ -885,19 +887,19 @@ class Genome:
         pending = []
 
         def _drain_dense(m, by_dev, popc_dev, cs_dev):
-            by = assemble_genome_shards(np.asarray(by_dev), nbytes)[:m]
-            popc_np = np.asarray(popc_dev)[:m].astype(np.int32)
+            by = assemble_genome_shards(host_view(by_dev), nbytes)[:m]
+            popc_np = host_view(popc_dev)[:m].astype(np.int32)
             # padding positions past m carry zero masks, so the device's
             # full-slice totals are exact
-            colsums = np.asarray(cs_dev)[:N]
+            colsums = host_view(cs_dev)[:N]
             return by, popc_np, colsums
 
         def _drain():
             start, m, chunk_buf, outs = pending.pop(0)
             if proto == 4:
                 data, pal, counts, us, C = outs
-                cnts = np.asarray(counts)
-                uvals = np.asarray(us)
+                cnts = host_view(counts)
+                uvals = host_view(us)
                 if np.any(cnts > pal_work) or np.any(uvals > PAL_CAP):
                     by, popc_np, colsums = _drain_dense(
                         m, *genome_sharded_anchor_chunk(mesh, gsd,

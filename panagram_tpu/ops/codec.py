@@ -26,7 +26,12 @@ import numpy as np
 MAX_K = 31
 
 # Sentinel key: compares greater than any valid (2k<=62-bit) kmer.
-SENTINEL = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+# A NUMPY scalar on purpose: a jnp scalar at module scope would initialize
+# the XLA backend at import time, which breaks multi-host bring-up
+# (jax.distributed.initialize must run before any backend use) and makes
+# `import panagram_tpu` touch the accelerator.  All uses are inside
+# x64-enabled traces, where np.uint64 keeps its 64-bit dtype.
+SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
 def _check_k(k: int):

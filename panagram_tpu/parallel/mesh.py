@@ -39,7 +39,12 @@ def initialize_distributed(coordinator: str | None = None,
     Only runs when a coordinator address is explicitly given: the
     file-coordinated build DAG (parallel/distributed.py) does not need
     cross-process collectives, and jax.distributed must be initialized
-    before any backend use, which a library cannot guarantee."""
+    before any backend use, which a library cannot guarantee.
+
+    After this, ``jax.devices()`` is the GLOBAL device list across all
+    processes and ``make_mesh`` spans it — shard_map bodies and their
+    collectives (all_to_all / psum) are unchanged; on TPU slices they ride
+    ICI/DCN, on the CPU test fixture they ride the Gloo backend."""
     if not coordinator or num_processes is None or num_processes <= 1:
         return
     jax.distributed.initialize(
@@ -47,3 +52,21 @@ def initialize_distributed(coordinator: str | None = None,
         num_processes=num_processes,
         process_id=process_id,
     )
+
+
+def host_view(x) -> np.ndarray:
+    """``np.asarray`` that also works for global (multi-process) arrays.
+
+    Sharded outputs of the mesh engines are only partially addressable
+    when processes > 1; gather them with an all_gather collective so every
+    process sees the full value (control decisions made from these values
+    — overflow retries, prefix sizes — must match across processes or the
+    collective programs deadlock, so a full gather is the SAFE primitive;
+    per-host shard reads are a later optimization).  NOTE: in
+    multi-process mode this is itself a collective — every process must
+    call it in the same order."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
