@@ -27,7 +27,7 @@ import numpy as np
 from .distances import write_genome_dist
 from .index import Index, init_logger
 from .io.fasta import iter_fasta, seq_to_codes
-from .ops.count import distinct_kmers_chunked
+from .ops.count import counted_kmers_chunked, distinct_kmers_chunked
 from .ops.dictionary import PanKmerDict, build_dictionary
 
 logger = logging.getLogger(__name__)
@@ -109,7 +109,11 @@ def count_genome(index: Index, name: str, force=False) -> str:
     k = index.k
 
     if str(fasta).endswith(FASTQ_EXTS):
-        kmers = _count_fastq(fasta, k)
+        # KMC `-ci2 -fq` semantics (reference workflow/Snakefile:88): reads
+        # stream through the device sort+count kernel in fixed-size chunks;
+        # host memory is bounded by distinct keys, not the read multiset
+        codes = (seq_to_codes(seq) for _, seq in _iter_fastq(fasta))
+        kmers = counted_kmers_chunked(codes, k, min_count=2)
     else:
         codes = (seq_to_codes(seq) for _, seq in iter_fasta(fasta))
         kmers = distinct_kmers_chunked(codes, k)
@@ -121,20 +125,6 @@ def count_genome(index: Index, name: str, force=False) -> str:
     _benchmark(index.prefix, f"kmc.{name}", t0)
     logger.info(f"counted {name}: {len(kmers)} distinct {k}-mers")
     return out
-
-
-def _count_fastq(path, k, min_count=2):
-    from .ops.codec import canonical_kmers
-
-    parts = []
-    for _, seq in _iter_fastq(path):
-        canon, valid = canonical_kmers(seq_to_codes(seq), k)
-        parts.append(canon[valid])
-    if not parts:
-        return np.zeros(0, np.uint64)
-    allk = np.concatenate(parts)
-    keys, counts = np.unique(allk, return_counts=True)
-    return keys[counts >= min_count]
 
 
 def build_dict_device(index: Index, force=False) -> str:

@@ -278,7 +278,9 @@ def test_fastq_counting(tmp_path, rng):
     workflow/Snakefile:88)."""
     import gzip as _gzip
 
-    from panagram_tpu.pipeline import _count_fastq
+    from panagram_tpu.pipeline import _iter_fastq
+    from panagram_tpu.io.fasta import seq_to_codes
+    from panagram_tpu.ops.count import counted_kmers_chunked
     from panagram_tpu.ops.ref_impl import genome_kmer_set
 
     good = "".join(rng.choice(list("ACGT"), 300))
@@ -288,7 +290,8 @@ def test_fastq_counting(tmp_path, rng):
         for i in range(3):  # the real sequence appears 3x
             f.write(f"@r{i}\n{good}\n+\n{'I' * len(good)}\n")
         f.write(f"@err\n{err}\n+\n{'I' * len(err)}\n")  # singleton errors
-    kmers = _count_fastq(str(fq), 11)
+    codes = (seq_to_codes(seq) for _, seq in _iter_fastq(str(fq)))
+    kmers = counted_kmers_chunked(codes, 11, min_count=2)
     want = genome_kmer_set([good], 11)
     # every k-mer of the 3x-covered sequence is kept
     assert np.isin(want, kmers).all()

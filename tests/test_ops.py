@@ -163,3 +163,34 @@ def test_pack_kmers_packed_matches_unpacked(rng):
                                        jnp.asarray(nmask), L2, k)
             assert np.array_equal(np.asarray(v1), np.asarray(v2)), (k, L)
             assert np.array_equal(np.asarray(c1), np.asarray(c2)), (k, L)
+
+
+def test_counted_kmers_chunked_matches_oracle(rng):
+    """Device sort+count FASTQ counting == numpy multiset counting with
+    GLOBAL min-count thresholds, including k-mers whose occurrences land
+    in different device chunks (tiny chunk forces the tree merge)."""
+    from panagram_tpu.ops.count import counted_kmers_chunked
+    from panagram_tpu.ops.ref_impl import canonical_kmers_np
+
+    k = 11
+    reads = []
+    base = rng.integers(0, 4, 200).astype(np.uint8)
+    for i in range(6):                      # overlapping coverage
+        s = rng.integers(0, len(base) - 60)
+        reads.append(base[s : s + 60].copy())
+    err = rng.integers(0, 4, 60).astype(np.uint8)
+    reads.append(err)                        # singleton-heavy read
+    reads.append(rng.integers(0, 4, 5).astype(np.uint8))  # shorter than k
+
+    # numpy oracle: global multiset counts
+    allk = []
+    for r in reads:
+        canon, valid = canonical_kmers_np(r, k)
+        allk.append(canon[valid])
+    vals, counts = np.unique(np.concatenate(allk), return_counts=True)
+
+    for min_count in (1, 2, 3):
+        want = vals[counts >= min_count]
+        got = counted_kmers_chunked(iter(reads), k, min_count=min_count,
+                                    chunk=128)   # << read total: multi-chunk
+        assert np.array_equal(got, want), min_count
