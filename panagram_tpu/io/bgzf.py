@@ -299,3 +299,79 @@ class BgzfReader:
 def decompress_file(path: str) -> bytes:
     with BgzfReader(path) as r:
         return r.read_all()
+
+
+def is_bgzf(path: str) -> bool:
+    """True when the file starts with a BGZF block (gzip + FEXTRA with a
+    'BC' subfield) — i.e. bgzip output, random-accessible; plain gzip is
+    not (htslib applies the same sniff)."""
+    try:
+        with open(path, "rb") as f:
+            header = f.read(18)
+    except OSError:
+        return False
+    if len(header) < 18 or header[0] != 0x1F or header[1] != 0x8B \
+            or not (header[3] & 0x04):
+        return False
+    xlen = struct.unpack("<H", header[10:12])[0]
+    with open(path, "rb") as f:
+        f.seek(12)
+        extra = f.read(xlen)
+    i = 0
+    while i + 4 <= len(extra):
+        si1, si2 = extra[i], extra[i + 1]
+        slen = struct.unpack("<H", extra[i + 2:i + 4])[0]
+        if si1 == 0x42 and si2 == 0x43 and slen == 2:
+            return True
+        i += 4 + slen
+    return False
+
+
+def build_gzi(path: str, gzi_path: str | None = None) -> str:
+    """Create a .gzi for an EXISTING BGZF file (the role of ``bgzip -r``):
+    walk the block headers by their BC sizes and read each member's ISIZE
+    trailer — no decompression needed."""
+    if gzi_path is None:
+        gzi_path = str(path) + ".gzi"
+    entries: list[tuple[int, int]] = []
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        coffset = 0
+        uoffset = 0
+        while coffset < size:
+            f.seek(coffset)
+            header = f.read(18)
+            if len(header) < 18:
+                break
+            if header[0] != 0x1F or header[1] != 0x8B:
+                raise ValueError(f"{path}: bad BGZF magic at {coffset}")
+            xlen = struct.unpack("<H", header[10:12])[0]
+            extra = header[12:18]
+            if xlen > 6:
+                extra += f.read(xlen - 6)
+            bsize = None
+            i = 0
+            while i + 4 <= len(extra):
+                si1, si2 = extra[i], extra[i + 1]
+                slen = struct.unpack("<H", extra[i + 2:i + 4])[0]
+                if si1 == 0x42 and si2 == 0x43 and slen == 2:
+                    bsize = struct.unpack("<H", extra[i + 4:i + 6])[0] + 1
+                    break
+                i += 4 + slen
+            if bsize is None:
+                raise ValueError(f"{path}: BGZF BC subfield missing "
+                                 f"at {coffset}")
+            f.seek(coffset + bsize - 4)
+            (isize,) = struct.unpack("<I", f.read(4))
+            coffset += bsize
+            uoffset += isize
+            if isize == 0 and coffset >= size:
+                break  # EOF marker
+            entries.append((coffset, uoffset))
+    tmp = gzi_path + f".tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(struct.pack("<Q", len(entries)))
+        for c, u in entries:
+            f.write(struct.pack("<QQ", c, u))
+    os.replace(tmp, gzi_path)
+    return gzi_path

@@ -151,3 +151,62 @@ def test_write_fai_rejects_blank_lines_inside_sequence(tmp_path):
     ok = tmp_path / "ok.fa"
     ok.write_text(">c\nAAAA\nCC\n\n>d\nGGGG\n")
     write_fai(str(ok))  # trailing blank before the next record is fine
+
+
+def test_bgzf_fasta_random_access(tmp_path, rng):
+    """bgzip-compressed FASTA gets true random access (.fai offsets in
+    uncompressed space + .gzi block seek), no whole-genome load — the
+    htslib/pysam behaviour (reference index.py:576).  Plain gzip still
+    falls back to in-memory."""
+    import gzip as _gzip
+
+    from panagram_tpu.io.bgzf import BgzfWriter, build_gzi, is_bgzf, load_gzi
+    from panagram_tpu.io.fasta import FastaFile
+    from tests.conftest import random_seq
+
+    seqs = {"chr1": random_seq(rng, 150_000), "chr2": random_seq(rng, 7000)}
+    text = "".join(
+        f">{n} extra comment\n"
+        + "\n".join(s[i : i + 61] for i in range(0, len(s), 61)) + "\n"
+        for n, s in seqs.items())
+
+    plain = tmp_path / "g.fa"
+    plain.write_text(text)
+    bgz = tmp_path / "g2.fa.gz"
+    with BgzfWriter(str(bgz)) as w:
+        w.write(text.encode())
+        w.flush()
+        w.write_gzi(str(bgz) + ".gzi.writer")
+    assert is_bgzf(str(bgz))
+    assert not is_bgzf(str(plain))
+
+    # gzi built by scanning the existing file == the writer's own table
+    build_gzi(str(bgz), str(bgz) + ".gzi")
+    got = load_gzi(str(bgz) + ".gzi")
+    want = load_gzi(str(bgz) + ".gzi.writer")
+    assert np.array_equal(got["rstart"], want["rstart"])
+    assert np.array_equal(got["dstart"], want["dstart"])
+
+    fb = FastaFile(str(bgz))
+    assert fb._seqs is None and fb._bgzf is not None  # true random access
+    fp = FastaFile(str(plain))
+    assert fb.references == ["chr1", "chr2"]
+    for name, s in seqs.items():
+        assert fb.get_reference_length(name) == len(s)
+        for start, end in ((0, 50), (64000, 66050), (len(s) - 13, len(s)),
+                           (1234, 1235)):
+            start = min(start, len(s) - 1)
+            end = min(end, len(s))
+            assert fb.fetch(name, start, end) == s[start:end]
+            assert fp.fetch(name, start, end) == s[start:end]
+    fb.close()
+    fp.close()
+
+    # plain (non-bgzf) gzip: in-memory fallback, same answers
+    gz = tmp_path / "g3.fa.gz"
+    with _gzip.open(gz, "wt") as f:
+        f.write(text)
+    fg = FastaFile(str(gz))
+    assert fg._seqs is not None
+    assert fg.fetch("chr1", 100, 160) == seqs["chr1"][100:160]
+    fg.close()
