@@ -150,7 +150,10 @@ class TabixFile:
         self.name_idx = {n: i for i, n in enumerate(self.names)}
         (n_ref,) = struct.unpack_from("<i", data, off)
         off += 4
-        self.ref_bins: list[dict[int, list[tuple[int, int]]]] = []
+        # bin id -> (loffset, chunks); loffset is the virtual offset of the
+        # first record overlapping the bin's interval — the CSI analogue of
+        # tabix's linear index, used to prune chunks at fetch time
+        self.ref_bins: list[dict[int, tuple[int, list[tuple[int, int]]]]] = []
         for _ in range(n_ref):
             (n_bin,) = struct.unpack_from("<i", data, off)
             off += 4
@@ -163,7 +166,7 @@ class TabixFile:
                     cb, ce = struct.unpack_from("<QQ", data, off)
                     off += 16
                     chunks.append((cb, ce))
-                bins[b] = chunks
+                bins[b] = (loffset, chunks)
             self.ref_bins.append(bins)
 
     @property
@@ -205,14 +208,36 @@ class TabixFile:
             start = 0
         if end is None:
             end = 1 << (self.min_shift + self.depth * 3)
+        # min_off pruning (htslib hts_itr_query): the loffset of the leaf
+        # bin containing `start` (walking up absent ancestors) bounds the
+        # first record that can overlap — chunks entirely before it are
+        # skipped and partial ones clipped, so a query near a contig's end
+        # no longer scans every chunk of its coarse ancestor bins
+        first_leaf = ((1 << self.depth * 3) - 1) // 7
+        b = first_leaf + (start >> self.min_shift)
+        min_off = 0
+        while True:
+            if b in bins:
+                min_off = bins[b][0]
+                break
+            if b == 0:
+                break
+            b = (b - 1) >> 3
         chunks = []
         for b in _reg2bins(start, max(end, start + 1), self.min_shift, self.depth):
-            chunks.extend(bins.get(b, []))
-        seen = set()
-        for cb, ce in sorted(chunks):
-            if (cb, ce) in seen:
+            if b in bins:
+                chunks.extend(bins[b][1])
+        pruned = []
+        for cb, ce in sorted(set(chunks)):
+            if ce <= min_off:
                 continue
-            seen.add((cb, ce))
+            cb = max(cb, min_off)
+            # merge adjacent/overlapping chunks: one seek per run
+            if pruned and cb <= pruned[-1][1]:
+                pruned[-1] = (pruned[-1][0], max(pruned[-1][1], ce))
+            else:
+                pruned.append((cb, ce))
+        for cb, ce in pruned:
             for line in self._read_chunk(cb, ce).split(b"\n"):
                 if not line:
                     continue
