@@ -37,6 +37,40 @@ def _query(canon, table, nbits: int, cap: int, nwords: int):
     return bucket_query(canon, table, nbits, cap, nwords)
 
 
+def _query_packed(packed, nmask, L: int, k: int, table, nbits: int,
+                  cap: int, nwords: int):
+    """Packed 2-bit stream -> position-ordered mask rows u32 [P, W].
+
+    On the Pallas path the fused pack+mix kernel emits splitmix64-mixed
+    (qhi, qlo) u32 pairs directly (no u64 canon materialization, no
+    emulated 64-bit multiplies in XLA — pallas_kernels.pack_mix_pallas);
+    its phase-major output order is absorbed by the merge probe's sort,
+    which carries the true position as its payload
+    (lookup.bucket_query_sorted_pre).  Other backends keep the XLA codec
+    + probe pair."""
+    import os as _os
+
+    from .codec import pack_kmers_packed
+    from .lookup import bucket_query_sorted_pre
+    from .pallas_kernels import (
+        pack_mix_pallas,
+        pack_mix_positions,
+        pallas_enabled,
+    )
+
+    P = L - k + 1
+    tile_q = max(int(_os.environ.get("PANAGRAM_TPU_TILE_Q", 1024)), 1024)
+    unit = 16 * 1024
+    if pallas_enabled() and tile_q <= unit and unit % tile_q == 0:
+        Ppad = -(-P // unit) * unit
+        mhi, mlo = pack_mix_pallas(packed, nmask, L, k, Ppad)
+        pos = pack_mix_positions(Ppad)
+        return bucket_query_sorted_pre(mhi.reshape(-1), mlo.reshape(-1),
+                                       pos, table, nbits, cap, nwords, P)
+    canon, _ = pack_kmers_packed(packed, nmask, L, k)
+    return _query(canon, table, nbits, cap, nwords)
+
+
 @jax.jit
 def anchor_lookup(canon: jax.Array, keys: jax.Array, masks: jax.Array):
     """canon u64 [P]; keys u64 [D] sorted (may be SENTINEL-padded);
@@ -118,10 +152,7 @@ def anchor_chunk_fast(packed: jax.Array, nmask: jax.Array,
 
     Minimises host<->device traffic: input is 0.375 B/base, outputs are
     nbytes/position + tiny reductions (SURVEY §7.4.5)."""
-    from .codec import pack_kmers_packed
-
-    canon, _ = pack_kmers_packed(packed, nmask, L, k)
-    rows = _query(canon, table, nbits, cap, nwords)
+    rows = _query_packed(packed, nmask, L, k, table, nbits, cap, nwords)
     popc = mask_popcount(rows)
     by = masks_to_bytes(rows)[:, :nbytes]
     colsums = _colsum_list(rows, 32 * nwords)
@@ -233,13 +264,10 @@ def anchor_chunk_rle2(inbuf: jax.Array, table: jax.Array,
     rle2_colsums.  count > capacity signals overflow (rows were dropped);
     the caller falls back to anchor_chunk_fast.
     """
-    from .codec import pack_kmers_packed
-
     n4 = (L + 3) // 4
     packed = jax.lax.slice(inbuf, (0,), (n4,))
     nmask = jax.lax.slice(inbuf, (n4,), (inbuf.shape[0],))
-    canon, _ = pack_kmers_packed(packed, nmask, L, k)
-    rows = _query(canon, table, nbits, cap, nwords)
+    rows = _query_packed(packed, nmask, L, k, table, nbits, cap, nwords)
     body, count = rle_payload(rows, nbytes, capacity)
 
     cnt32 = count.astype(jnp.uint32)
@@ -373,13 +401,10 @@ def anchor_chunk_rle4(inbuf: jax.Array, table: jax.Array,
     (data u8 [pal_work + 1, 3], pal u8 [PAL_CAP + 3,
     rle4_pal_bytes(nbytes)]).  Host side:
     dispatch_rle4_prefix -> collect_rle4 -> unpack_rle4."""
-    from .codec import pack_kmers_packed
-
     n4 = (L + 3) // 4
     packed = jax.lax.slice(inbuf, (0,), (n4,))
     nmask = jax.lax.slice(inbuf, (n4,), (inbuf.shape[0],))
-    canon, _ = pack_kmers_packed(packed, nmask, L, k)
-    rows = _query(canon, table, nbits, cap, nwords)
+    rows = _query_packed(packed, nmask, L, k, table, nbits, cap, nwords)
     data, pal, _count, _u = rle4_payload(rows, nbytes, pal_work)
     return data, pal
 

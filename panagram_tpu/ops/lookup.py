@@ -348,9 +348,37 @@ def bucket_query_sorted(canon: jax.Array, table: jax.Array,
       lax.cond full fallback only triggers when the tail exceeds the
       fixup capacity (~1.5% of Q), which needs a pathological key skew.
     """
+    Q0 = canon.shape[0]
     from . import pallas_kernels as pk
 
-    Q0 = canon.shape[0]
+    tile_q = max(int(os.environ.get("PANAGRAM_TPU_TILE_Q", pk.TILE_Q)), 1024)
+    m0 = canon.astype(jnp.uint64) if pre_mixed else mix64(canon)
+    S32 = jnp.uint32(0xFFFFFFFF)
+    Qp = -(-Q0 // tile_q) * tile_q
+    mhi0 = (m0 >> U64(32)).astype(jnp.uint32)
+    mlo0 = (m0 & U64(0xFFFFFFFF)).astype(jnp.uint32)
+    if Qp != Q0:
+        padv = jnp.full(Qp - Q0, S32, jnp.uint32)
+        mhi0 = jnp.concatenate([mhi0, padv])
+        mlo0 = jnp.concatenate([mlo0, padv])
+    pos = jnp.arange(Qp, dtype=jnp.int32)
+    return bucket_query_sorted_pre(mhi0, mlo0, pos, table, nbits, cap,
+                                   nwords, Q0)
+
+
+def bucket_query_sorted_pre(mhi0: jax.Array, mlo0: jax.Array,
+                            pos: jax.Array, table: jax.Array,
+                            nbits: int, cap: int, nwords: int,
+                            out_len: int):
+    """Core of bucket_query_sorted over PRE-SPLIT mixed query pairs in ANY
+    order: mhi0/mlo0 u32 [Qp] (all-ones pairs are padding), pos i32 [Qp]
+    giving each element's output row (a permutation prefix of
+    [0, out_len) plus pad positions >= out_len).  Returns rows u32
+    [out_len, W] indexed by pos — the entry point for the fused Pallas
+    pack+mix producer, whose output is phase-major rather than positional
+    (pallas_kernels.pack_mix_pallas)."""
+    from . import pallas_kernels as pk
+
     B = 1 << nbits
     stride = table.shape[1]
     # floor 1024: Mosaic tiles 1D u32 operands at T(1024) — smaller block
@@ -365,10 +393,9 @@ def bucket_query_sorted(canon: jax.Array, table: jax.Array,
     while (stride * pack) % 128 or B % pack:
         pack *= 2
     Bp = B // pack
-    m0 = canon.astype(jnp.uint64) if pre_mixed else mix64(canon)
-    ALL1 = U64(0xFFFFFFFFFFFFFFFF)
     S32 = jnp.uint32(0xFFFFFFFF)
-    Qp = -(-Q0 // tile_q) * tile_q
+    Qp = mhi0.shape[0]
+    assert Qp % tile_q == 0
 
     # bucket-slice height (packed rows per tile): a tile of tile_q sorted
     # uniform queries covers tile_q*Bp/Qp rows on average; 1.5x the mean
@@ -382,18 +409,10 @@ def bucket_query_sorted(canon: jax.Array, table: jax.Array,
         span = min(int(env_span), Bp)
     fixup = max(Qp >> 6, tile_q)
 
-    mhi0 = (m0 >> U64(32)).astype(jnp.uint32)
-    mlo0 = (m0 & U64(0xFFFFFFFF)).astype(jnp.uint32)
-    if Qp != Q0:
-        padv = jnp.full(Qp - Q0, S32, jnp.uint32)
-        mhi0 = jnp.concatenate([mhi0, padv])
-        mlo0 = jnp.concatenate([mlo0, padv])
-
     # grouping sort keyed on the high 32 bits only (u32 radix beats u64;
     # slot matching inside the kernel compares full (hi, lo) anyway, so
     # same-hi ties need no order)
-    idx = jnp.arange(Qp, dtype=jnp.int32)
-    qhi, qlo, idxs = jax.lax.sort((mhi0, mlo0, idx), num_keys=1)
+    qhi, qlo, idxs = jax.lax.sort((mhi0, mlo0, pos), num_keys=1)
     brow = (qhi >> jnp.uint32(32 - nbits)).astype(jnp.int32) \
         >> (pack.bit_length() - 1)
     blo = jnp.clip(brow[::tile_q], 0, Bp - span)
@@ -428,12 +447,16 @@ def bucket_query_sorted(canon: jax.Array, table: jax.Array,
             rows_t[w].at[idx_out].set(
                 jnp.where(valid_fix, fixed[:, w], rows_t[w][idx_out]))
             for w in range(nwords))
-        # inverse permutation by sorting on the original index (sort-based
+        # inverse permutation by sorting on the output position (sort-based
         # permute: a gather here would reintroduce the issue-rate wall)
         srt = jax.lax.sort((idxs,) + rows_fixed, num_keys=1)
-        return jnp.stack(srt[1:], axis=1)[:Q0]
+        return jnp.stack(srt[1:], axis=1)[:out_len]
 
     def slow(_):
-        return bucket_query(canon, table, nbits, cap, nwords, pre_mixed)
+        m = (mhi0.astype(jnp.uint64) << U64(32)) | mlo0.astype(jnp.uint64)
+        rows = bucket_query(m, table, nbits, cap, nwords, pre_mixed=True)
+        srt = jax.lax.sort((pos,) + tuple(rows[:, w] for w in range(nwords)),
+                           num_keys=1)
+        return jnp.stack(srt[1:], axis=1)[:out_len]
 
     return jax.lax.cond(ok, fast, slow, None)

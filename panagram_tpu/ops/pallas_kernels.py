@@ -267,6 +267,225 @@ def probe_sorted(qhi: jax.Array, qlo: jax.Array, blo: jax.Array,
         )(blo, qhi, qlo, table)
 
 
+# ---------------------------------------------------------------------------
+# Fused pack+mix kernel: 2-bit packed bases -> splitmix64-mixed (qhi, qlo)
+# u32 pairs, entirely in u32 arithmetic inside VMEM.
+#
+# The XLA path (codec.pack_kmers_packed + lookup.mix64) costs ~12-15 ms per
+# 4M chunk: every op runs in emulated u64 with fusion breaks between the
+# byte-slice phases (measured via tools/chunk_ablate.py).  This kernel does
+# the window build, canonicalization (rev-complement min), validity, and
+# the splitmix64 finalizer (16-bit-limb u64 multiplies — Mosaic's u32
+# multiply is exact mod 2^32, tools/mosaic_probe.py) in one VMEM pass:
+# ~95 u32 ops/position ~ well under 1 ms/4M.
+#
+# Outputs are PHASE-MAJOR: out[r, j] is position 16*j + r (each u32 of the
+# packed stream carries 16 bases).  The merge-probe consumer sorts queries
+# anyway, so it simply carries the true position (16*(i%J) + i//J ... see
+# pack_mix_positions) as the sort payload instead of arange.
+# ---------------------------------------------------------------------------
+
+_MIX_M1 = 0xBF58476D1CE4E5B9
+_MIX_M2 = 0x94D049BB133111EB
+# mix64 of the SENTINEL canon (invalid windows), as (hi, lo) u32 constants
+_SENT_MIX = 0xB4D055FCF2CBBD7B  # == mix64_np(0xFFFFFFFFFFFFFFFF)
+
+
+def _mul64_const(hi, lo, const: int):
+    """(hi, lo) u32 pair * 64-bit constant, mod 2^64 — 16-bit-limb
+    schoolbook on the low x low product (needs its high half), low-only
+    multiplies for the cross terms."""
+    c_lo = np.uint32(const & 0xFFFFFFFF)
+    c_hi = np.uint32(const >> 32)
+    b0 = np.uint32(const & 0xFFFF)
+    b1 = np.uint32((const >> 16) & 0xFFFF)
+    a0 = lo & jnp.uint32(0xFFFF)
+    a1 = lo >> jnp.uint32(16)
+    p00 = a0 * b0
+    p01 = a0 * b1
+    p10 = a1 * b0
+    p11 = a1 * b1
+    mid = p01 + (p00 >> jnp.uint32(16))
+    mid2 = p10 + (mid & jnp.uint32(0xFFFF))
+    lo_res = (mid2 << jnp.uint32(16)) | (p00 & jnp.uint32(0xFFFF))
+    hi_res = (p11 + (mid >> jnp.uint32(16)) + (mid2 >> jnp.uint32(16))
+              + lo * c_hi + hi * c_lo)
+    return hi_res, lo_res
+
+
+def _xorshift64(hi, lo, s: int):
+    """(hi, lo) ^= (hi, lo) >> s for 0 < s < 64 (splitmix uses 30/27/31)."""
+    if s < 32:
+        nlo = (lo >> jnp.uint32(s)) | (hi << jnp.uint32(32 - s))
+        nhi = hi >> jnp.uint32(s)
+    else:
+        nlo = hi >> jnp.uint32(s - 32)
+        nhi = jnp.zeros_like(hi)
+    return hi ^ nhi, lo ^ nlo
+
+
+def _mix64_pair(hi, lo):
+    hi, lo = _xorshift64(hi, lo, 30)
+    hi, lo = _mul64_const(hi, lo, _MIX_M1)
+    hi, lo = _xorshift64(hi, lo, 27)
+    hi, lo = _mul64_const(hi, lo, _MIX_M2)
+    return _xorshift64(hi, lo, 31)
+
+
+def _rev32_pairs(x):
+    """Reverse the order of the 16 2-bit pairs within a u32."""
+    m = jnp.uint32(0x0000FFFF)
+    x = ((x & m) << jnp.uint32(16)) | ((x >> jnp.uint32(16)) & m)
+    m = jnp.uint32(0x00FF00FF)
+    x = ((x & m) << jnp.uint32(8)) | ((x >> jnp.uint32(8)) & m)
+    m = jnp.uint32(0x0F0F0F0F)
+    x = ((x & m) << jnp.uint32(4)) | ((x >> jnp.uint32(4)) & m)
+    m = jnp.uint32(0x33333333)
+    x = ((x & m) << jnp.uint32(2)) | ((x >> jnp.uint32(2)) & m)
+    return x
+
+
+def _pack_mix_kernel(a_ref, b_ref, c_ref, nma_ref, nmb_ref,
+                     ohi_ref, olo_ref, *, k: int, P: int, tj: int):
+    """One grid step: tj u32 groups of the packed stream (16 positions
+    each) -> mixed (hi, lo) for the 16 phases."""
+    A = a_ref[:]                                     # [8, 128] u32
+    B = b_ref[:]
+    C = c_ref[:]
+    NMa = nma_ref[:]
+    NMb = nmb_ref[:]
+    t = pl.program_id(0)
+
+    two_k = 2 * k
+    if two_k >= 32:
+        lo_mask = jnp.uint32(0xFFFFFFFF)
+        hi_mask = jnp.uint32((1 << (two_k - 32)) - 1)
+    else:
+        lo_mask = jnp.uint32((1 << two_k) - 1)
+        hi_mask = jnp.uint32(0)
+    kmask = jnp.uint32((1 << k) - 1)
+    sh = 64 - two_k
+    s_hi = jnp.uint32(_SENT_MIX >> 32)
+    s_lo = jnp.uint32(_SENT_MIX & 0xFFFFFFFF)
+    S32 = jnp.uint32(0xFFFFFFFF)
+
+    # global group index of each element (for the >= P pad marking)
+    sub = jax.lax.broadcasted_iota(jnp.int32, A.shape, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, A.shape, 1)
+    jglob = t * tj + sub * 128 + lane
+
+    for r in range(16):
+        s = 2 * r
+        if r == 0:
+            wlo, whi = A, B
+            vbits = NMa
+        else:
+            wlo = (A >> jnp.uint32(s)) | (B << jnp.uint32(32 - s))
+            whi = (B >> jnp.uint32(s)) | (C << jnp.uint32(32 - s))
+            vbits = (NMa >> jnp.uint32(r)) | (NMb << jnp.uint32(32 - r))
+        wlo = wlo & lo_mask
+        whi = whi & hi_mask
+        bad = (vbits & kmask) != jnp.uint32(0)
+
+        rc_lo = (~wlo) & lo_mask
+        rc_hi = (~whi) & hi_mask
+        r_hi = _rev32_pairs(wlo)                     # rev64 swaps halves
+        r_lo = _rev32_pairs(whi)
+        if sh == 0:
+            fhi, flo = r_hi, r_lo
+        elif sh < 32:
+            flo = (r_lo >> jnp.uint32(sh)) | (r_hi << jnp.uint32(32 - sh))
+            fhi = r_hi >> jnp.uint32(sh)
+        else:
+            flo = r_hi >> jnp.uint32(sh - 32)
+            fhi = jnp.zeros_like(r_hi)
+
+        take_f = (fhi < rc_hi) | ((fhi == rc_hi) & (flo <= rc_lo))
+        chi = jnp.where(take_f, fhi, rc_hi)
+        clo = jnp.where(take_f, flo, rc_lo)
+
+        mhi, mlo = _mix64_pair(chi, clo)
+        mhi = jnp.where(bad, s_hi, mhi)
+        mlo = jnp.where(bad, s_lo, mlo)
+        # positions past P are PADDING: the all-ones reserved pair (what
+        # bucket_query_sorted appends host-side on the XLA path)
+        pad = (jglob * 16 + r) >= P
+        ohi_ref[r] = jnp.where(pad, S32, mhi)
+        olo_ref[r] = jnp.where(pad, S32, mlo)
+
+
+def pack_mix_pallas(packed: jax.Array, nmask: jax.Array, L: int, k: int,
+                    Ppad: int):
+    """packed u8 [>= ceil(L/4)] (pack_bases_np layout), nmask u8
+    [>= ceil(L/8)] -> (mhi, mlo) u32 [16, J] PHASE-MAJOR mixed queries,
+    J = Ppad // 16; flat index i <-> position 16*(i % J) + i // J.
+    Positions >= L-k+1 carry the all-ones padding pair.  Ppad must be a
+    multiple of 16*1024."""
+    P = L - k + 1
+    J = Ppad // 16
+    assert J % 1024 == 0
+    TJ = 1024                                        # groups per grid step
+
+    # XLA-side input prep (one fused elementwise pass):
+    # A/B/C = u32 groups j, j+1, j+2 of the packed stream; NMa/NMb = the
+    # 48-bit validity window bits 16j.. as (u32, u32>>... ) per group
+    nb = packed.shape[0]
+    need_b = 4 * (J + 2)
+    p = packed
+    if nb < need_b:
+        p = jnp.concatenate([p, jnp.zeros(need_b - nb, jnp.uint8)])
+    p32 = jax.lax.bitcast_convert_type(
+        p[: 4 * (J + 2)].reshape(J + 2, 4), jnp.uint32).reshape(J + 2)
+    A = jax.lax.slice(p32, (0,), (J,))
+    B = jax.lax.slice(p32, (1,), (J + 1,))
+    C = jax.lax.slice(p32, (2,), (J + 2,))
+
+    nm = nmask
+    need_m = 2 * (J + 2)
+    if nm.shape[0] < need_m:
+        # pad with 0xFF: windows past the real sequence are invalid
+        nm = jnp.concatenate(
+            [nm, jnp.full(need_m - nm.shape[0], 0xFF, jnp.uint8)])
+    m16 = jax.lax.bitcast_convert_type(
+        nm[: 2 * (J + 2)].reshape(J + 2, 2), jnp.uint16).reshape(J + 2)
+    m32 = m16.astype(jnp.uint32)
+    NMa = jax.lax.slice(m32, (0,), (J,)) \
+        | (jax.lax.slice(m32, (1,), (J + 1,)) << jnp.uint32(16))
+    NMb = jax.lax.slice(m32, (2,), (J + 2,))
+
+    Jr = J // 128
+    shape2 = (Jr, 128)
+    ins = [x.reshape(shape2) for x in (A, B, C, NMa, NMb)]
+    grid = J // TJ
+    blk = pl.BlockSpec((TJ // 128, 128), lambda t: (t, 0),
+                       memory_space=pltpu.VMEM)
+    oblk = pl.BlockSpec((16, TJ // 128, 128), lambda t: (0, t, 0),
+                        memory_space=pltpu.VMEM)
+    kern = partial(_pack_mix_kernel, k=k, P=P, tj=TJ)
+    with jax.enable_x64(False):
+        ohi, olo = pl.pallas_call(
+            kern,
+            grid=(grid,),
+            in_specs=[blk] * 5,
+            out_specs=(oblk, oblk),
+            out_shape=(
+                jax.ShapeDtypeStruct((16, Jr, 128), jnp.uint32),
+                jax.ShapeDtypeStruct((16, Jr, 128), jnp.uint32),
+            ),
+            interpret=_interpret(),
+        )(*ins)
+    return ohi.reshape(16, J), olo.reshape(16, J)
+
+
+def pack_mix_positions(Ppad: int):
+    """True position of each flat element of pack_mix_pallas output:
+    pos[i] = 16 * (i % J) + i // J, as int32 [Ppad]."""
+    J = Ppad // 16
+    r = jnp.arange(16, dtype=jnp.int32)[:, None]
+    j = jnp.arange(J, dtype=jnp.int32)[None, :]
+    return (16 * j + r).reshape(Ppad)
+
+
 def _bytes_kernel(rows_ref, out_ref, nwords: int, nbytes: int):
     """u32 mask words -> little-endian bytes, truncated to nbytes."""
     rows = rows_ref[:]

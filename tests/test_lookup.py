@@ -487,3 +487,41 @@ def test_hbm_budget_guard(monkeypatch):
         check_hbm_budget(int(5e8), 4)
     nbits, cap, stride = table_geometry(int(1e8), 1)
     assert stride == 64 and cap == 21
+
+
+def test_query_packed_pallas_path_matches_gather(rng, monkeypatch):
+    """_query_packed with the fused pack+mix producer (phase-major mixed
+    pairs + bucket_query_sorted_pre, forced on via PANAGRAM_TPU_PALLAS=1
+    in interpret mode) == the plain gather probe in position order."""
+    import jax.numpy as jnp
+
+    from panagram_tpu.ops import anchor as anchor_mod
+    from panagram_tpu.ops.anchor import pack_bases_combined
+    from panagram_tpu.ops.codec import pack_kmers_packed
+    from panagram_tpu.ops.lookup import BucketedDict, bucket_query
+    from panagram_tpu.ops.ref_impl import build_dict_np, canonical_kmers_np
+
+    k = 17
+    glen = 20000
+    genome = rng.integers(0, 4, glen, dtype=np.uint8)
+    canon_g, valid_g = canonical_kmers_np(genome, k)
+    keys, masks = build_dict_np([np.unique(canon_g[valid_g])])
+    bd = BucketedDict.build(keys, masks, 1, k)
+    t1 = jnp.asarray(bd.table)
+
+    codes = genome.copy()
+    bad = rng.choice(glen, glen // 100, replace=False)
+    codes[bad] = 255
+    inbuf, L = pack_bases_combined(codes)
+    n4 = (L + 3) // 4
+    packed = jnp.asarray(inbuf[:n4])
+    nmask = jnp.asarray(inbuf[n4:])
+
+    monkeypatch.setenv("PANAGRAM_TPU_PALLAS", "1")
+    got = np.asarray(anchor_mod._query_packed(
+        packed, nmask, L, k, t1, bd.nbits, bd.cap, bd.nwords))
+
+    canon, _ = pack_kmers_packed(packed, nmask, L, k)
+    want = np.asarray(bucket_query(canon, t1, bd.nbits, bd.cap, bd.nwords))
+    assert got.shape == want.shape
+    assert np.array_equal(got, want)
