@@ -60,9 +60,10 @@ def _run_index(args):
         raise SystemExit(
             "--mesh with --num-processes runs ONE collective engine across "
             "hosts (jax.distributed) and needs --coordinator host:port")
-    if args.mesh and args.num_processes > 1:
+    if args.mesh and args.num_processes > 1 and not args.prepare:
         # must run before ANY backend-initializing jax call (the engine
-        # imports below deliberately avoid touching the backend)
+        # imports below deliberately avoid touching the backend); --prepare
+        # never computes, so it must not block waiting for peer processes
         from .parallel.mesh import initialize_distributed
 
         initialize_distributed(args.coordinator, args.num_processes,

@@ -133,16 +133,21 @@ class FastaFile:
                 # uncompressed space) + the .gzi block table — the htslib
                 # behaviour the reference gets from pysam.FastaFile on
                 # bgzf input (reference panagram/index.py:576); no
-                # whole-genome load (VERDICT r3 missing item 4)
-                gzi = str(path) + ".gzi"
-                if not os.path.exists(gzi):
-                    build_gzi(path, gzi)
-                if not os.path.exists(fai):
-                    write_fai(path, fai)
-                self._load_fai(fai)
-                self._bgzf = BgzfReader(path, gzi=gzi)
-                self._fh = None
-                return
+                # whole-genome load (VERDICT r3 missing item 4).  Indexes
+                # land next to the FASTA; a read-only location falls back
+                # to the in-memory path below (the old behaviour).
+                try:
+                    gzi = str(path) + ".gzi"
+                    if not os.path.exists(gzi):
+                        build_gzi(path, gzi)
+                    if not os.path.exists(fai):
+                        write_fai(path, fai)
+                    self._load_fai(fai)
+                    self._bgzf = BgzfReader(path, gzi=gzi)
+                    self._fh = None
+                    return
+                except OSError:
+                    self._bgzf = None
             # plain gzip (not bgzf): not seekable — load into memory
             self._seqs = dict(iter_fasta(path))
             self._index = {

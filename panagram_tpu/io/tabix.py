@@ -71,6 +71,10 @@ def write_tabix(rows, bgz_path: str, csi_path: str | None = None,
     names: list[str] = []
     name_idx: dict[str, int] = {}
     ref_bins: list[dict[int, list[tuple[int, int]]]] = []
+    # linear window index (htslib's lidx): min virtual offset of any record
+    # OVERLAPPING each min_shift window — long records update every window
+    # they span, so the per-bin loffset derived below never prunes them
+    ref_lw: list[dict[int, int]] = []
 
     w = BgzfWriter(bgz_path)
 
@@ -87,12 +91,54 @@ def write_tabix(rows, bgz_path: str, csi_path: str | None = None,
             name_idx[chrom] = len(names)
             names.append(chrom)
             ref_bins.append({})
+            ref_lw.append({})
         vbeg = cur_voffset()
         w.write(line.encode())
         vend = cur_voffset()
         b = _reg2bin(beg, max(end, beg + 1), MIN_SHIFT, depth)
-        ref_bins[name_idx[chrom]].setdefault(b, []).append((vbeg, vend))
+        rid = name_idx[chrom]
+        ref_bins[rid].setdefault(b, []).append((vbeg, vend))
+        lw = ref_lw[rid]
+        for wdw in range(beg >> MIN_SHIFT,
+                         (max(end, beg + 1) - 1 >> MIN_SHIFT) + 1):
+            if wdw not in lw or vbeg < lw[wdw]:
+                lw[wdw] = vbeg
     w.close()
+
+    # per-reference gap-filled linear index (htslib lidx): filled[i] = min
+    # voffset of records overlapping window i, forward-filled so unset
+    # windows inherit the previous value (leading gaps -> 0)
+    ref_lidx: list[list[int]] = []
+    for lw in ref_lw:
+        if not lw:
+            ref_lidx.append([])
+            continue
+        filled = [0] * (max(lw) + 1)
+        cur = 0
+        for i in range(len(filled)):
+            if i in lw:
+                cur = lw[i]
+            filled[i] = cur
+        ref_lidx.append(filled)
+
+    def _bin_loffset(rid: int, b: int) -> int:
+        """htslib loffset semantics: the linear-index value at the bin's
+        FIRST min_shift window — the first record overlapping the bin's
+        interval, including long records indexed under ancestor bins."""
+        # level of bin b: levels start at t_l = (8^l - 1) / 7
+        t = 0
+        level = 0
+        for lvl in range(depth + 1):
+            size = 1 << (3 * lvl)
+            if b < t + size:
+                level = lvl
+                break
+            t += size
+        w0 = (b - t) << (3 * (depth - level))
+        lidx = ref_lidx[rid]
+        if not lidx:
+            return 0
+        return lidx[min(w0, len(lidx) - 1)]
 
     with open(csi_path, "wb") as f:
         f.write(b"CSI\x01")
@@ -103,7 +149,7 @@ def write_tabix(rows, bgz_path: str, csi_path: str | None = None,
         f.write(struct.pack("<i", len(aux)))
         f.write(aux)
         f.write(struct.pack("<i", len(ref_bins)))
-        for bins in ref_bins:
+        for rid, bins in enumerate(ref_bins):
             f.write(struct.pack("<i", len(bins)))
             for b in sorted(bins):
                 chunks = sorted(bins[b])
@@ -113,7 +159,7 @@ def write_tabix(rows, bgz_path: str, csi_path: str | None = None,
                         merged[-1] = (merged[-1][0], max(merged[-1][1], c[1]))
                     else:
                         merged.append(c)
-                loffset = chunks[0][0]
+                loffset = _bin_loffset(rid, b)
                 f.write(struct.pack("<IQi", b, loffset, len(merged)))
                 for cb, ce in merged:
                     f.write(struct.pack("<QQ", cb, ce))

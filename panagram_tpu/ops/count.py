@@ -113,6 +113,8 @@ def _merge_counted(parts):
         return parts[0]
     allk = np.concatenate([p[0] for p in parts])
     allc = np.concatenate([p[1] for p in parts])
+    if allk.size == 0:
+        return allk, allc
     order = np.argsort(allk, kind="stable")
     ks = allk[order]
     cs = allc[order]
@@ -179,7 +181,11 @@ def counted_kmers_chunked(code_arrays, k: int, min_count: int = 2,
             _flush_chunk()
             _drain_pending()
         buf[pos : pos + n] = codes
-        pos += n + 1  # leave one 255 separator byte
+        # the separator byte must be EXPLICITLY invalid: after the first
+        # flush the buffer holds stale bases from the previous chunk, and a
+        # valid stale byte here would let windows span two reads
+        buf[pos + n] = 255
+        pos += n + 1
     _flush_chunk()
     _drain_pending(force=True)
     if acc is None:

@@ -280,19 +280,24 @@ def _chrom_linkage(index, genome, chrom, size):
     """Ward linkage over the WHOLE chromosome at a bounded lowres step,
     memoized per (index, genome, chrom) — region renders reuse it instead
     of paying a fresh 50k-row linkage per pan/zoom."""
-    key = (id(index), genome, chrom)
+    # stable identity (id() values get reused after GC) + bounded size
+    key = (getattr(index, "prefix", id(index)), genome, chrom)
     if key in _CHROM_LINK_CACHE:
         return _CHROM_LINK_CACHE[key]
     n = index.ngenomes
     link = None
     if n > 2:
-        # lowres rows, further strided so at most ~200k rows load
-        step = max(index.lowres_step, int(size) // 200_000 or 1)
+        # stride MUST be a multiple of a stored step or Genome.query falls
+        # back to the step-1 bitmap (whole-chromosome full-res read)
+        ls = max(int(index.lowres_step), 1)
+        step = ls * max(int(size) // 200_000 // ls, 1)
         bitmap = index.query_bitmap(genome, chrom, 0, size, step)
         sample = bitmap.sample(n=min(len(bitmap), 50_000), random_state=42)
         arr = sample.to_numpy()
         if arr.std() > 0:
             link = hierarchy.linkage(arr.T, method="ward")
+    if len(_CHROM_LINK_CACHE) >= 256:
+        _CHROM_LINK_CACHE.pop(next(iter(_CHROM_LINK_CACHE)))
     _CHROM_LINK_CACHE[key] = link
     return link
 

@@ -210,3 +210,28 @@ def test_bgzf_fasta_random_access(tmp_path, rng):
     assert fg._seqs is not None
     assert fg.fetch("chr1", 100, 160) == seqs["chr1"][100:160]
     fg.close()
+
+
+def test_tabix_long_record_survives_loffset_pruning(tmp_path):
+    """A record spanning INTO the query window from an earlier window must
+    survive the reader's loffset pruning: the writer's loffset follows
+    htslib's linear-index semantics (first record OVERLAPPING the bin's
+    interval), not 'first record assigned to the bin'."""
+    from panagram_tpu.io.tabix import TabixFile, write_tabix
+
+    rows = [("chr1", 0, 100_000, "longgene")]
+    rows += [("chr1", 20_000 + 10 * i, 20_050 + 10 * i, f"s{i}")
+             for i in range(50)]
+    bgz = tmp_path / "t.bed.gz"
+    write_tabix(iter(rows), str(bgz), str(bgz) + ".csi",
+                seq_col=0, beg_col=1, end_col=2)
+    tf = TabixFile(str(bgz))
+    got = list(tf.fetch("chr1", 20_000, 21_000))
+    names = {r[3] for r in got}
+    assert "longgene" in names, names          # the reproduced bug
+    assert {f"s{i}" for i in range(50)} <= names
+    # a query far past every record returns nothing
+    assert list(tf.fetch("chr1", 500_000, 600_000)) == []
+    # and one before the short records still sees the long one
+    assert [r[3] for r in tf.fetch("chr1", 1_000, 1_100)] == ["longgene"]
+    tf.close()

@@ -194,3 +194,30 @@ def test_counted_kmers_chunked_matches_oracle(rng):
         got = counted_kmers_chunked(iter(reads), k, min_count=min_count,
                                     chunk=128)   # << read total: multi-chunk
         assert np.array_equal(got, want), min_count
+
+
+def test_counted_kmers_chunked_varied_read_lengths(rng):
+    """Regression: after a buffer flush, the separator slot may hold a
+    STALE valid base from the previous chunk — windows must never span two
+    reads through it (reproduced with varied read lengths + tiny chunk)."""
+    from panagram_tpu.ops.count import counted_kmers_chunked
+    from panagram_tpu.ops.ref_impl import canonical_kmers_np
+
+    k = 5
+    lengths = [30, 10, 10, 10, 10, 7, 25, 10]
+    reads = [rng.integers(0, 4, n).astype(np.uint8) for n in lengths]
+    allk = []
+    for r in reads:
+        canon, valid = canonical_kmers_np(r, k)
+        allk.append(canon[valid])
+    vals, counts = np.unique(np.concatenate(allk), return_counts=True)
+    for min_count in (1, 2):
+        want = vals[counts >= min_count]
+        got = counted_kmers_chunked(iter(reads), k, min_count=min_count,
+                                    chunk=32)
+        assert np.array_equal(got, want), min_count
+
+    # all-N reads: empty result, no crash (empty-merge guard)
+    nreads = [np.full(20, 255, np.uint8) for _ in range(20)]
+    got = counted_kmers_chunked(iter(nreads), k, min_count=2, chunk=32)
+    assert got.size == 0
