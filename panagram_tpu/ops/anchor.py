@@ -167,14 +167,14 @@ def rle_row_bytes(nbytes: int) -> int:
 
 def _run_structure(rows: jax.Array):
     """Shared run decomposition for the RLE protocols: mask rows u32
-    [P, W] -> (change bool [P], pos i32 [P] (run index per position),
-    count i32 (total runs), delta u8 [P] (gap to the previous run start,
-    valid at change positions)).
+    [P, W] -> (change bool [P], count i32 (total runs)).
 
     A "run" starts wherever the mask row differs from the previous
     position, plus injected continuation rows every 255 positions inside
     long runs (same mask, delta 255) so every gap fits u8; the worst
-    case adds P/255 rows."""
+    case adds P/255 rows.  Deltas are derived AFTER compaction as
+    consecutive-position differences (_compact_runs), which removed the
+    second cummax and the cumsum this used to run over the full chunk."""
     P = rows.shape[0]
     change0 = jnp.concatenate([
         jnp.ones(1, bool), jnp.any(rows[1:] != rows[:-1], axis=1)
@@ -185,16 +185,11 @@ def _run_structure(rows: jax.Array):
     last0 = jax.lax.cummax(jnp.where(change0, iota, -1))
     dist = iota - last0
     change = change0 | ((dist > 0) & (dist % 255 == 0))
-    pos = jnp.cumsum(change.astype(jnp.int32)) - 1
-    count = pos[-1] + 1
-    lastrun = jax.lax.cummax(jnp.where(change, iota, -1))
-    prev = jnp.concatenate([jnp.zeros(1, jnp.int32), lastrun[:-1]])
-    delta = jnp.where(iota == 0, 0, iota - prev).astype(jnp.uint8)
-    return change, pos, count, delta
+    count = jnp.sum(change.astype(jnp.int32))
+    return change, count
 
 
-def _compact_runs(rows: jax.Array, change: jax.Array, delta: jax.Array,
-                  prefix: int):
+def _compact_runs(rows: jax.Array, change: jax.Array, prefix: int):
     """Stream compaction of the run rows: one STABLE multi-operand sort
     (non-changes sort last; stability preserves position order) + a static
     prefix slice.  The equivalent .at[slots].set scatter measured 168 ms
@@ -202,14 +197,22 @@ def _compact_runs(rows: jax.Array, change: jax.Array, delta: jax.Array,
     (tools/chunk_ablate.py, round 4) — XLA scatter on TPU is issue-rate
     bound per row while the sort runs at memory bandwidth.
 
+    The sort carries each run's POSITION; deltas come out as consecutive
+    differences on the compacted prefix (512K elements instead of a
+    full-chunk cummax).  Run 0 sits at position 0, so its "difference"
+    (pos[0] - 0) is the required delta 0.
+
     Returns (delta u8 [prefix], masks u32 [prefix, W]); entries past the
     true run count are GARBAGE (not zeros) — every consumer reads only
     `count` rows."""
     P, W = rows.shape
     n = min(prefix, P)
-    ops = (~change, delta) + tuple(rows[:, w] for w in range(W))
+    iota = jnp.arange(P, dtype=jnp.int32)
+    ops = (~change, iota) + tuple(rows[:, w] for w in range(W))
     srt = jax.lax.sort(ops, num_keys=1, is_stable=True)
-    delta_c = jax.lax.slice(srt[1], (0,), (n,))
+    pos_c = jax.lax.slice(srt[1], (0,), (n,))
+    prev = jnp.concatenate([jnp.zeros(1, jnp.int32), pos_c[:-1]])
+    delta_c = (pos_c - prev).astype(jnp.uint8)
     rmask = jnp.stack(
         [jax.lax.slice(srt[2 + w], (0,), (n,)) for w in range(W)], axis=1)
     if n < prefix:
@@ -235,8 +238,8 @@ def rle_payload(rows: jax.Array, nbytes: int, capacity: int):
     sort-based _compact_runs; rows past `count` are garbage and rows past
     `capacity` are simply not represented — `count` always reports the
     true run count so the caller can detect overflow."""
-    change, pos, count, delta = _run_structure(rows)
-    delta_c, rmask = _compact_runs(rows, change, delta, capacity + 1)
+    change, count = _run_structure(rows)
+    delta_c, rmask = _compact_runs(rows, change, capacity + 1)
     by = masks_to_bytes(rmask)[:, :nbytes]
     rowb = rle_row_bytes(nbytes)
     parts = [delta_c[:, None], by]
@@ -347,8 +350,8 @@ def rle4_payload(rows: jax.Array, nbytes: int, pal_work: int):
     `count` are garbage; the palette stage masks them by run index and
     the host reads only `count` rows."""
     P, W = rows.shape
-    change, pos, count, delta = _run_structure(rows)
-    delta_col, rmask = _compact_runs(rows, change, delta, pal_work + 1)
+    change, count = _run_structure(rows)
+    delta_col, rmask = _compact_runs(rows, change, pal_work + 1)
 
     # palette grouping: sort runs by (validity, mask words) carrying the
     # run index; valid runs sort first, equal masks group together

@@ -208,18 +208,17 @@ def main():
     @jax.jit
     def f_runstruct(p, m, t):
         rows = _rows(p, m, t)
-        change, pos, count, delta = _run_structure(rows)
-        return (change.sum().astype(jnp.uint32) + pos[-1].astype(jnp.uint32)
-                + count.astype(jnp.uint32) + delta.astype(jnp.uint32).sum()
-                + rows.sum(dtype=jnp.uint32))
+        change, count = _run_structure(rows)
+        return (change.sum().astype(jnp.uint32)
+                + count.astype(jnp.uint32) + rows.sum(dtype=jnp.uint32))
 
     @jax.jit
     def f_compact(p, m, t):
         from panagram_tpu.ops.anchor import _compact_runs
 
         rows = _rows(p, m, t)
-        change, pos, count, delta = _run_structure(rows)
-        delta_c, rmask = _compact_runs(rows, change, delta, pal_work + 1)
+        change, count = _run_structure(rows)
+        delta_c, rmask = _compact_runs(rows, change, pal_work + 1)
         return (delta_c.astype(jnp.uint32).sum()
                 + rmask.sum(dtype=jnp.uint32) + count.astype(jnp.uint32))
 
