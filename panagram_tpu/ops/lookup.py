@@ -270,7 +270,6 @@ def layout_rows(m: jax.Array, masks: jax.Array, bucket: jax.Array,
     ops = (b, m) + tuple(masks[:, w] for w in range(W))
     srt = jax.lax.sort(ops, num_keys=2)
     bs, ms = srt[0], srt[1]
-    masks_s = jnp.stack(srt[2:], axis=1) if W else masks
 
     counts = jnp.bincount(bs, length=n_buckets + 1)
     offsets = jnp.cumsum(counts) - counts
@@ -279,17 +278,16 @@ def layout_rows(m: jax.Array, masks: jax.Array, bucket: jax.Array,
 
     ok = (bs < n_buckets) & (slot < cap)
     base = jnp.where(ok, bs * stride + slot * slot_w, n_buckets * stride)
-    idx = base[:, None] + jnp.arange(slot_w)[None, :]
-    vals = jnp.concatenate(
-        [
-            (ms >> U64(32)).astype(jnp.uint32)[:, None],
-            (ms & U64(0xFFFFFFFF)).astype(jnp.uint32)[:, None],
-            masks_s,
-        ],
-        axis=1,
-    )
+    # ONE scatter per slot column, all on flat 1D arrays: a [D, slot_w]
+    # payload would be TPU-tiled (8, 128) with the minor dim padded
+    # 3 -> 128 lanes — a 42x memory blowup (64 GB at a 2^27-key device
+    # dictionary; the bigdict run caught it as a compile-time OOM)
     table = jnp.full(n_buckets * stride, _SENTINEL32, jnp.uint32)
-    table = table.at[idx].set(vals, mode="drop")
+    cols = [(ms >> U64(32)).astype(jnp.uint32),
+            (ms & U64(0xFFFFFFFF)).astype(jnp.uint32)]
+    cols += [srt[2 + w] for w in range(W)]
+    for c, colv in enumerate(cols):
+        table = table.at[base + c].set(colv, mode="drop")
     return table.reshape(n_buckets, stride), overflow.astype(jnp.int32)
 
 
