@@ -247,13 +247,20 @@ class BucketedDict:
 
 
 def layout_rows(m: jax.Array, masks: jax.Array, bucket: jax.Array,
-                n_buckets: int, cap: int, stride: int):
+                n_buckets: int, cap: int, stride: int,
+                bucket_in_key: bool = False):
     """Traced core of the device bucket layout (also used inside the
     distributed build's shard_map body, parallel/shard.py).
 
     m u64 [D] mixed keys (SENTINEL rows are padding and dropped); masks
     u32 [D, W]; bucket i32 [D] — the destination bucket of each row (any
     derivation: top bits, low bits, shard-offset).
+
+    bucket_in_key=True asserts the bucket is the TOP bits of m (the
+    single-table and genome-sharded layouts): sorting by m alone then
+    yields (bucket, key) order, dropping one [D] operand from the sort —
+    at a 1e8-key table the layout runs within ~1 GB of the HBM ceiling,
+    so every operand counts.
 
     Returns (table u32 [n_buckets, stride], overflow i32): rows beyond a
     bucket's capacity are dropped and counted in overflow (the caller
@@ -263,13 +270,25 @@ def layout_rows(m: jax.Array, masks: jax.Array, bucket: jax.Array,
     slot_w = 2 + W
 
     real = m != jnp.uint64(0xFFFFFFFFFFFFFFFF)
-    b = jnp.where(real, bucket, n_buckets).astype(jnp.int32)
 
-    # deterministic grouping: sort by (bucket, key) — keys are distinct,
-    # so the order (hence slot assignment) is a fixed total order
-    ops = (b, m) + tuple(masks[:, w] for w in range(W))
-    srt = jax.lax.sort(ops, num_keys=2)
-    bs, ms = srt[0], srt[1]
+    if bucket_in_key:
+        nbits = (n_buckets - 1).bit_length()
+        ops = (m,) + tuple(masks[:, w] for w in range(W))
+        srt = jax.lax.sort(ops, num_keys=1)
+        ms = srt[0]
+        real_s = ms != jnp.uint64(0xFFFFFFFFFFFFFFFF)
+        bs = jnp.where(real_s,
+                       (ms >> U64(64 - nbits)).astype(jnp.int32),
+                       n_buckets)
+        srt = (bs,) + srt
+    else:
+        b = jnp.where(real, bucket, n_buckets).astype(jnp.int32)
+        # deterministic grouping: sort by (bucket, key) — keys are
+        # distinct, so the order (hence slot assignment) is a fixed total
+        # order
+        ops = (b, m) + tuple(masks[:, w] for w in range(W))
+        srt = jax.lax.sort(ops, num_keys=2)
+        bs, ms = srt[0], srt[1]
 
     counts = jnp.bincount(bs, length=n_buckets + 1)
     offsets = jnp.cumsum(counts) - counts
@@ -294,8 +313,9 @@ def layout_rows(m: jax.Array, masks: jax.Array, bucket: jax.Array,
 @partial(jax.jit, static_argnums=(2, 3, 4))
 def _layout_device(m: jax.Array, masks: jax.Array, nbits: int, cap: int,
                    stride: int):
-    bucket = (m >> U64(64 - nbits)).astype(jnp.int32)
-    return layout_rows(m, masks, bucket, 1 << nbits, cap, stride)
+    dummy = jnp.zeros((), jnp.int32)   # bucket derives from m's top bits
+    return layout_rows(m, masks, dummy, 1 << nbits, cap, stride,
+                       bucket_in_key=True)
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4, 5))

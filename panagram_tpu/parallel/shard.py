@@ -519,9 +519,9 @@ def _genome_layout_body(m, masks_l, *, nbits, cap, stride, nwords_local):
     device."""
     m = m.reshape(-1)
     masks_l = masks_l.reshape(m.shape[0], nwords_local)
-    bucket = (m >> U64(64 - nbits)).astype(jnp.int32)
-    table, overflow = layout_rows(m, masks_l, bucket, 1 << nbits, cap,
-                                  stride)
+    dummy = jnp.zeros((), jnp.int32)   # bucket = top bits of m
+    table, overflow = layout_rows(m, masks_l, dummy, 1 << nbits, cap,
+                                  stride, bucket_in_key=True)
     return table, overflow[None]
 
 
