@@ -230,14 +230,17 @@ class BucketedDict:
         W = masks.shape[1] if masks.ndim == 2 else 1
         keys = jnp.asarray(keys, jnp.uint64)
         masks = jnp.asarray(masks, jnp.uint32).reshape(keys.shape[0], W)
-        m = keys if mixed else jnp.where(
-            keys == U64(0xFFFFFFFFFFFFFFFF), keys, mix64(keys))
 
         nbits, cap, stride = table_geometry(D, W)
         nbits = max(nbits, min_nbits)
         check_hbm_budget(D, W, what="bucketed dict (device layout)")
         for _ in range(8):
-            table, overflow = _layout_device(m, masks, nbits, cap, stride)
+            # mixing happens INSIDE the jitted layout: at the 1e8-key scale
+            # a second keys-sized array alive across the call is the
+            # difference between fitting HBM and not (pre-mixed keys pass
+            # straight through — no extra array at all)
+            table, overflow = _layout_device(keys, masks, nbits, cap,
+                                             stride, mixed)
             if int(overflow) == 0:
                 return cls(table=table, nbits=nbits, cap=cap, stride=stride,
                            ngenomes=ngenomes, k=k, nwords=W)
@@ -310,9 +313,11 @@ def layout_rows(m: jax.Array, masks: jax.Array, bucket: jax.Array,
     return table.reshape(n_buckets, stride), overflow.astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4))
-def _layout_device(m: jax.Array, masks: jax.Array, nbits: int, cap: int,
-                   stride: int):
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _layout_device(keys: jax.Array, masks: jax.Array, nbits: int, cap: int,
+                   stride: int, mixed: bool = True):
+    m = keys if mixed else jnp.where(
+        keys == U64(0xFFFFFFFFFFFFFFFF), keys, mix64(keys))
     dummy = jnp.zeros((), jnp.int32)   # bucket derives from m's top bits
     return layout_rows(m, masks, dummy, 1 << nbits, cap, stride,
                        bucket_in_key=True)

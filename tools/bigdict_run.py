@@ -69,16 +69,23 @@ def main():
     assert D >= 1e8, f"expected >= 1e8 keys, got {D:,}"
 
     t0 = time.perf_counter()
-    bd = b.bucketed()          # on-device table layout, no host round trip
+    # release the builder's references before the layout: at this scale
+    # the table (8.6 GB) + sort temporaries only fit next to ONE copy of
+    # the keys/masks
+    from panagram_tpu.ops.lookup import BucketedDict
+
+    keys_dev, masks_dev, count = b.keys, b.masks, b.synced_count()
+    b.keys = b.masks = None
+    del b
+    bd = BucketedDict.build_device(keys_dev, masks_dev, n, k,
+                                   mixed=True, count=count)
+    del keys_dev, masks_dev
     (t1,) = bd.device_arrays()
     jax.block_until_ready(t1)
     t_layout = time.perf_counter() - t0
     table_gb = t1.size * 4 / 1e9
     print(f"bucket table: 2^{bd.nbits} x {bd.stride} u32 = {table_gb:.1f} GB "
           f"laid out in {t_layout:.1f}s", flush=True)
-
-    # free the builder arrays before anchoring (HBM headroom)
-    del b
 
     nbytes = (n + 7) // 8
     alen = int(args.anchor_mbp * 1e6)
