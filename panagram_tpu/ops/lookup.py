@@ -61,6 +61,18 @@ def mix64(x: jax.Array) -> jax.Array:
     return x
 
 
+def row_pack(stride: int, n_buckets: int) -> int:
+    """Adjacent buckets packed per stored row so the minor dimension is a
+    multiple of 128 lanes: TPU tiles 2D arrays at (8, 128), so a [B, 64]
+    table would PAD to 128 lanes — 2x HBM at rest.  The packed-row form
+    [B/pack, stride*pack] is dense, and it is exactly the row shape the
+    Pallas merge probe DMAs."""
+    pack = 1
+    while (stride * pack) % 128 or n_buckets % pack:
+        pack *= 2
+    return pack
+
+
 def table_geometry(D: int, W: int, mean_load: int | None = None):
     """Bucket-table geometry for D keys x W mask words:
     (nbits, cap, stride).  Shared sizing rule of every builder."""
@@ -204,14 +216,20 @@ class BucketedDict:
         return table, 0
 
     def device_arrays(self):
-        """Device handle of the bucket table, MEMOIZED: jnp.asarray of a
-        host table is an async h2d of the whole (3x-padded) table — at
-        512 MB over this rig's ~10-45 MB/s link a fresh upload per anchor
-        genome cost ~50-100 s, silently serialized into the first kernel
-        dispatch (measured via the run_anchor phase log)."""
+        """Device handle of the bucket table in PACKED-ROW form
+        ([B/pack, stride*pack] — dense under TPU (8, 128) tiling, where
+        [B, stride] would pad its minor dim to 128 lanes and double the
+        at-rest HBM), MEMOIZED: jnp.asarray of a host table is an async
+        h2d of the whole (3x-padded) table — at 512 MB over this rig's
+        ~10-45 MB/s link a fresh upload per anchor genome cost ~50-100 s,
+        silently serialized into the first kernel dispatch."""
         dev = getattr(self, "_dev", None)
         if dev is None:
-            dev = (jnp.asarray(self.table),)
+            t = self.table
+            if isinstance(t, np.ndarray):
+                pack = row_pack(self.stride, t.shape[0])
+                t = t.reshape(t.shape[0] // pack, self.stride * pack)
+            dev = (jnp.asarray(t),)
             object.__setattr__(self, "_dev", dev)
         return dev
 
@@ -242,6 +260,8 @@ class BucketedDict:
             table, overflow = _layout_device(keys, masks, nbits, cap,
                                              stride, mixed)
             if int(overflow) == 0:
+                pack = row_pack(stride, 1 << nbits)
+                table = table.reshape((1 << nbits) // pack, stride * pack)
                 return cls(table=table, nbits=nbits, cap=cap, stride=stride,
                            ngenomes=ngenomes, k=k, nwords=W)
             nbits += 1
@@ -265,9 +285,9 @@ def layout_rows(m: jax.Array, masks: jax.Array, bucket: jax.Array,
     at a 1e8-key table the layout runs within ~1 GB of the HBM ceiling,
     so every operand counts.
 
-    Returns (table u32 [n_buckets, stride], overflow i32): rows beyond a
-    bucket's capacity are dropped and counted in overflow (the caller
-    retries with more buckets)."""
+    Returns (table u32 FLAT [n_buckets * stride], overflow i32): rows
+    beyond a bucket's capacity are dropped and counted in overflow (the
+    caller retries with more buckets)."""
     D = m.shape[0]
     W = masks.shape[1]
     slot_w = 2 + W
@@ -310,7 +330,11 @@ def layout_rows(m: jax.Array, masks: jax.Array, bucket: jax.Array,
     cols += [srt[2 + w] for w in range(W)]
     for c, colv in enumerate(cols):
         table = table.at[base + c].set(colv, mode="drop")
-    return table.reshape(n_buckets, stride), overflow.astype(jnp.int32)
+    # FLAT return: a [n_buckets, stride] device array is TPU-tiled (8, 128)
+    # — stride 64 pads 2x (16 GB for a 2^25-bucket table).  Callers reshape
+    # to a 128-multiple minor dim (free, layout-compatible) or to
+    # [n_buckets, stride] host-side.
+    return table, overflow.astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4, 5))
@@ -329,13 +353,28 @@ def bucket_query(canon: jax.Array, table: jax.Array,
                  pre_mixed: bool = False):
     """canon u64 [Q] -> mask rows u32 [Q, W] in ONE wide gather.  Misses
     (including SENTINEL / invalid windows) return zero masks, matching
-    KMC's counter-0 behaviour for absent or N-containing k-mers."""
+    KMC's counter-0 behaviour for absent or N-containing k-mers.
+
+    `table` may be the plain [B, stride] layout (mesh shard tables, host
+    uploads in tests) or the PACKED-ROW [B/pack, stride*pack] device form
+    (device_arrays / build_device — dense under TPU tiling); the packing
+    is derived from the shapes and unpicked with a log2(pack) select
+    chain."""
     m = canon.astype(jnp.uint64) if pre_mixed else mix64(canon)
     qhi = (m >> U64(32)).astype(jnp.uint32)
     qlo = (m & U64(0xFFFFFFFF)).astype(jnp.uint32)
     bucket = (m >> U64(64 - nbits)).astype(jnp.int32)
 
-    rows = jnp.take(table, bucket, axis=0)            # [Q, stride]
+    B = 1 << nbits
+    pack = max(B // table.shape[0], 1)
+    stride = table.shape[1] // pack
+    logp = pack.bit_length() - 1
+    rows = jnp.take(table, bucket >> logp, axis=0)    # [Q, stride*pack]
+    off = bucket & (pack - 1)
+    for bit in reversed(range(logp)):
+        half = rows.shape[1] // 2
+        upper = ((off >> bit) & 1) == 1
+        rows = jnp.where(upper[:, None], rows[:, half:], rows[:, :half])
     slot_w = 2 + nwords
     rows = rows[:, : cap * slot_w].reshape(rows.shape[0], cap, slot_w)
     hit = (rows[:, :, 0] == qhi[:, None]) & (rows[:, :, 1] == qlo[:, None])
@@ -403,19 +442,22 @@ def bucket_query_sorted_pre(mhi0: jax.Array, mlo0: jax.Array,
     from . import pallas_kernels as pk
 
     B = 1 << nbits
-    stride = table.shape[1]
     # floor 1024: Mosaic tiles 1D u32 operands at T(1024) — smaller block
     # shapes fail layout verification on hardware
     tile_q = max(int(os.environ.get("PANAGRAM_TPU_TILE_Q", pk.TILE_Q)), 1024)
-    # Mosaic VMEM slices must be 128-lane aligned: pack adjacent buckets
-    # into one DMA row until the row width is a multiple of 128 u32 (the
+    # Mosaic VMEM slices must be 128-lane aligned: adjacent buckets pack
+    # into one row until the row width is a multiple of 128 u32 (the
     # kernel safely matches across all packed buckets — an exact (hi, lo)
     # match in a neighbour bucket is impossible since equal hi implies the
-    # same bucket)
-    pack = 1
-    while (stride * pack) % 128 or B % pack:
-        pack *= 2
+    # same bucket).  device_arrays/build_device tables arrive ALREADY in
+    # this packed-row form (dense under TPU tiling); a plain [B, stride]
+    # input is packed here via a layout-compatible reshape.
+    pack_in = max(B // table.shape[0], 1)
+    stride = table.shape[1] // pack_in
+    pack = row_pack(stride, B)
     Bp = B // pack
+    if pack_in != pack:
+        table = table.reshape(Bp, stride * pack)
     S32 = jnp.uint32(0xFFFFFFFF)
     Qp = mhi0.shape[0]
     assert Qp % tile_q == 0
@@ -447,8 +489,7 @@ def bucket_query_sorted_pre(mhi0: jax.Array, mlo0: jax.Array,
     ok = n_out <= fixup
 
     def fast(_):
-        rows_t = pk.probe_sorted(qhi, qlo, blo,
-                                 table.reshape(Bp, stride * pack),
+        rows_t = pk.probe_sorted(qhi, qlo, blo, table,
                                  nbits, cap, nwords, span=span, pack=pack,
                                  tile_q=tile_q)
         # compact the out-of-span positions with a stable 2-operand sort
