@@ -107,7 +107,8 @@ def hbm_limit_bytes() -> int:
 
 
 def check_hbm_budget(D: int, W: int, n_shards: int = 1,
-                     what: str = "dictionary"):
+                     what: str = "dictionary",
+                     device_layout: bool = True):
     """Fail LOUDLY (before any allocation) when a requested dictionary
     cannot fit one chip's HBM, instead of OOM-crashing mid-build.
 
@@ -116,21 +117,27 @@ def check_hbm_budget(D: int, W: int, n_shards: int = 1,
 
       table bytes   = 2^ceil(log2(D / MEAN_LOAD)) * stride * 4
                     ~ (stride * 4 / MEAN_LOAD) * D ... 2x that after
-                      pow2 rounding
+                      pow2 rounding (packed-row dense form)
       per key       ~ 43-85 B  (W=1, stride 64)
                     ~ 85-171 B (W=4, stride 128)
-      during layout + (8 + 4W) * D for the keys/masks operands
+      device layout + ~4x (8 + 4W) * D transients (keys/masks + sort
+                      in/out + scatter temps; the measured coefficient
+                      from the 1e8-key run — a HOST-side layout needs
+                      only the finished table on device)
 
-    One 16 GB chip therefore holds ~1.3e8 keys at W=1 / ~6e7 at W=4
-    (with ~20% reserved for anchor-chunk buffers); beyond that the build
-    must hash-shard across chips: `panagram_tpu index --mesh N` splits
-    the table by key range, so capacity scales linearly with N."""
+    One 16 GB chip therefore anchors against a ~1.3e8-key table at W=1
+    (~6e7 at W=4); the all-device layout tops out at ~9e7 keys, beyond
+    which build_device routes the layout via host.  Past the table
+    ceiling itself, hash-shard across chips: `panagram_tpu index
+    --mesh N` splits the table by key range, so capacity scales linearly
+    with N."""
     if D <= 0:
         return
     per_shard = -(-D // max(n_shards, 1))
     nbits, cap, stride = table_geometry(per_shard, W)
     table = (1 << nbits) * stride * 4
-    layout = (8 + 4 * W) * per_shard * 2   # sort operands, transient
+    trans = 4 if device_layout else 0
+    layout = (8 + 4 * W) * per_shard * trans
     need = table + layout
     budget = int(hbm_limit_bytes() * 0.8)  # reserve for chunk buffers
     if need > budget:
@@ -139,8 +146,8 @@ def check_hbm_budget(D: int, W: int, n_shards: int = 1,
         while n_fit < 4096:
             n_fit *= 2
             nb2, _, _ = table_geometry(-(-D // n_fit), W)
-            if (1 << nb2) * stride * 4 + (8 + 4 * W) * (-(-D // n_fit)) * 2 \
-                    <= budget:
+            if (1 << nb2) * stride * 4 \
+                    + (8 + 4 * W) * (-(-D // n_fit)) * trans <= budget:
                 break
         raise RuntimeError(
             f"{what}: {D:,} keys x {W} mask words needs ~{need / 1e9:.1f} GB "
@@ -180,7 +187,8 @@ class BucketedDict:
         # lane-aligned stride: smallest multiple of 64 u32 that fits a
         # safe capacity (>= 3x mean load so overflow is essentially never)
         nbits, cap, stride = table_geometry(D, W)
-        check_hbm_budget(D, W, what="bucketed dict (host layout)")
+        check_hbm_budget(D, W, what="bucketed dict (host layout)",
+                         device_layout=False)
         for attempt in range(8):
             table, overflow = cls._layout(m, masks, nbits, cap, stride)
             if overflow == 0:
@@ -251,7 +259,24 @@ class BucketedDict:
 
         nbits, cap, stride = table_geometry(D, W)
         nbits = max(nbits, min_nbits)
-        check_hbm_budget(D, W, what="bucketed dict (device layout)")
+        try:
+            check_hbm_budget(D, W, what="bucketed dict (device layout)")
+        except RuntimeError:
+            # table alone fits but the device layout's transients do not:
+            # route the LAYOUT via host (numpy bucket sort + one upload;
+            # the 1e8-key regime) — only re-raise when even the finished
+            # table cannot fit, where --mesh is the real answer
+            check_hbm_budget(D, W, what="bucketed dict",
+                             device_layout=False)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "device dictionary layout at %s keys exceeds HBM "
+                "transient budget; building the table on the HOST and "
+                "uploading once", f"{D:,}")
+            hk = np.asarray(keys)[:D]
+            hm = np.asarray(masks)[:D]
+            return cls.build(hk, hm, ngenomes, k, mixed=bool(mixed))
         for _ in range(8):
             # mixing happens INSIDE the jitted layout: at the 1e8-key scale
             # a second keys-sized array alive across the call is the

@@ -69,23 +69,29 @@ def main():
     assert D >= 1e8, f"expected >= 1e8 keys, got {D:,}"
 
     t0 = time.perf_counter()
-    # release the builder's references before the layout: at this scale
-    # the table (8.6 GB) + sort temporaries only fit next to ONE copy of
-    # the keys/masks
+    # At 1.04e8 keys the DEVICE-side layout's transients (sort of 134M
+    # capacity rows next to the 8.6 GB table) overrun 16 GB HBM — measured
+    # ResourceExhausted even with packed-row tables and in-program mixing.
+    # The single-chip ceiling for the all-device layout is ~9e7 keys
+    # (check_hbm_budget reflects this); at the knife edge the layout
+    # routes via HOST (numpy bucket sort, minutes) and the finished table
+    # uploads once — anchoring then runs fully device-resident.
     from panagram_tpu.ops.lookup import BucketedDict
 
-    keys_dev, masks_dev, count = b.keys, b.masks, b.synced_count()
-    b.keys = b.masks = None
+    d = b.to_host()
     del b
-    bd = BucketedDict.build_device(keys_dev, masks_dev, n, k,
-                                   mixed=True, count=count)
-    del keys_dev, masks_dev
+    t_host = time.perf_counter()
+    print(f"builder -> host mirror: {time.perf_counter()-t0:.1f}s",
+          flush=True)
+    bd = BucketedDict.build(d.keys, d.masks, n, k, mixed=True)
+    print(f"host layout: {time.perf_counter()-t_host:.1f}s", flush=True)
     (t1,) = bd.device_arrays()
     jax.block_until_ready(t1)
     t_layout = time.perf_counter() - t0
     table_gb = t1.size * 4 / 1e9
     print(f"bucket table: 2^{bd.nbits} x {bd.stride} u32 = {table_gb:.1f} GB "
-          f"laid out in {t_layout:.1f}s", flush=True)
+          f"resident on device after {t_layout:.1f}s "
+          f"(host layout + one upload)", flush=True)
 
     nbytes = (n + 7) // 8
     alen = int(args.anchor_mbp * 1e6)
