@@ -184,12 +184,14 @@ class DeviceDictBuilder:
 
     def _ensure_capacity(self, needed: int):
         cap = 1 << max(int(np.ceil(np.log2(max(needed, 2)))), 10)
-        # loud capacity guard before allocating (the eventual bucket table
-        # is the larger footprint; failing here names the --mesh fix
-        # instead of OOMing mid-merge) — ops.lookup.check_hbm_budget
+        # loud capacity guard before allocating: the builder's merge
+        # transients are ~4x (8+4W) bytes/key (concat + sort in/out at 2C)
+        # WITHOUT a table (the query-table layout has its own guard and a
+        # host fallback in BucketedDict.build_device)
         from .lookup import check_hbm_budget
 
-        check_hbm_budget(cap, self.nwords, what="device dictionary builder")
+        check_hbm_budget(cap, self.nwords, what="device dictionary builder",
+                         include_table=False)
         if self.keys is None:
             self.keys = jnp.full(cap, SENTINEL, jnp.uint64)
             self.masks = jnp.zeros((cap, self.nwords), jnp.uint32)

@@ -108,7 +108,8 @@ def hbm_limit_bytes() -> int:
 
 def check_hbm_budget(D: int, W: int, n_shards: int = 1,
                      what: str = "dictionary",
-                     device_layout: bool = True):
+                     device_layout: bool = True,
+                     include_table: bool = True):
     """Fail LOUDLY (before any allocation) when a requested dictionary
     cannot fit one chip's HBM, instead of OOM-crashing mid-build.
 
@@ -135,7 +136,7 @@ def check_hbm_budget(D: int, W: int, n_shards: int = 1,
         return
     per_shard = -(-D // max(n_shards, 1))
     nbits, cap, stride = table_geometry(per_shard, W)
-    table = (1 << nbits) * stride * 4
+    table = (1 << nbits) * stride * 4 if include_table else 0
     trans = 4 if device_layout else 0
     layout = (8 + 4 * W) * per_shard * trans
     need = table + layout
@@ -146,8 +147,8 @@ def check_hbm_budget(D: int, W: int, n_shards: int = 1,
         while n_fit < 4096:
             n_fit *= 2
             nb2, _, _ = table_geometry(-(-D // n_fit), W)
-            if (1 << nb2) * stride * 4 \
-                    + (8 + 4 * W) * (-(-D // n_fit)) * trans <= budget:
+            t2 = (1 << nb2) * stride * 4 if include_table else 0
+            if t2 + (8 + 4 * W) * (-(-D // n_fit)) * trans <= budget:
                 break
         raise RuntimeError(
             f"{what}: {D:,} keys x {W} mask words needs ~{need / 1e9:.1f} GB "
