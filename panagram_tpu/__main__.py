@@ -90,10 +90,13 @@ def _run_index(args):
         # multi-host collective build: every process joins ONE global mesh
         # (jax.distributed + Mesh over jax.devices()); the shard_map
         # engines are unchanged — their all_to_all/psum now cross hosts.
-        # Every process runs the identical build (host decode included, so
-        # collective call sequences stay in lockstep); non-primary
-        # processes write to a '<prefix>.pN' mirror, which doubles as a
-        # cross-host byte-identity check.  Run all processes from
+        # Control flow stays lockstep (every process drains the compact
+        # RLE outputs), but each process expands + BGZF-writes only ITS
+        # devices' bitmap rows as piece files under its '<prefix>.pN'
+        # mirror; the primary stitches them in position order (no
+        # recompression) into the final bitmaps.  Mirrors keep the derived
+        # TSVs as a cross-host identity check; PANAGRAM_TPU_SHARD_WRITES=0
+        # restores full per-process decode+write.  Run all processes from
         # equivalent stage states (fresh dirs or --force): divergent
         # mtime-skips would desynchronize the collectives.
         if not args.prefix:

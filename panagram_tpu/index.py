@@ -49,7 +49,10 @@ GENE_COLS = ["chr", "start", "end", "name"]
 
 # positions per device chunk in the anchoring stream (k-1 halo added);
 # large chunks amortize per-call host<->device latency
-ANCHOR_CHUNK = 1 << 22
+# positions per streamed anchor chunk (2^22 measured best on the tunnel
+# rig: 2^23 raised compute-only rate but lost transfer overlap); the env
+# knob exists for A/B runs and for tests that need many small chunks
+ANCHOR_CHUNK = 1 << int(os.environ.get("PANAGRAM_TPU_CHUNK_LOG2", "22"))
 
 
 def init_logger(logfile=None):
@@ -423,6 +426,37 @@ class Genome:
     def bitmap_gzi_fname(self, step):
         return os.path.join(self.prefix, f"bitmap.{step}.{IDX_SUFFIX}")
 
+    def _peer_anchor_dir(self, pid):
+        """Process ``pid``'s anchor directory under the '<prefix>.pN'
+        mirror convention of multi-host mesh builds (__main__.py: process
+        0 owns the bare prefix).  Requires the mirrors to share a
+        filesystem — the same assumption the file-coordinated DAG already
+        makes."""
+        import jax
+
+        base = self.index.prefix.rstrip("/")
+        me = jax.process_index()
+        if me and base.endswith(f".p{me}"):
+            base = base[: -len(f".p{me}")]
+        if pid:
+            base = f"{base}.p{pid}"
+        return os.path.join(base, ANCHOR_DIR, self.name)
+
+    def _bitmap_piece_fname(self, step, pid, peer=False):
+        """Piece-file path for a multi-host sharded bitmap write (see
+        run_anchor).  Each process writes pieces under its OWN index
+        prefix; ``peer=True`` resolves process ``pid``'s directory so the
+        primary can stitch."""
+        adir = self._peer_anchor_dir(pid) if peer else self.prefix
+        return os.path.join(adir, f".bitmap.{step}.p{pid}.part")
+
+    def primary_bitmap_fname(self, step):
+        """Where the stitched bitmap of a multi-host sharded build lives:
+        always under the PRIMARY process's prefix (mirrors keep only the
+        derived tables).  Equal to bitmap_gz_fname on the primary."""
+        return os.path.join(self._peer_anchor_dir(0),
+                            f"bitmap.{step}.{BGZ_SUFFIX}")
+
     def tabix_fname(self, typ):
         return os.path.join(self.prefix, f"{typ}.bed.gz")
 
@@ -711,18 +745,30 @@ class Genome:
             codes, nkmers, chunk, buf, t1, bd, self.nbytes, self.ngenomes,
             self.index.k, state=state, capacity=capacity)
 
-    def _mesh_chunk_results(self, mesh, sharded, codes, nkmers, chunk):
+    def _mesh_chunk_results(self, mesh, sharded, codes, nkmers, chunk,
+                            local_devs=None):
         """Distributed chunk engine (parallel/shard.py): each chunk is
         sequence-sharded over the mesh with (k-1) halos, anchored via
         all_to_all routing into the per-shard bucket tables, and returned
         as per-device RLE buffers that this host decodes and concatenates.
         Yields the same tuples as _device_chunk_results — the entire write
-        path downstream is shared, so mesh builds are byte-identical."""
+        path downstream is shared, so mesh builds are byte-identical.
+
+        ``local_devs`` (a set of mesh device positions) switches to the
+        multi-host sharded drain: every process still gathers the compact
+        RLE buffers (control flow — overflow retries, prefix sizes — must
+        stay in lockstep) and decodes the cheap popcounts/colsums for ALL
+        devices, but expands mask BYTES only for its own devices; the
+        payload becomes a list of (row_start_in_chunk, bytes) pieces for
+        the per-host BGZF piece writer instead of the full [m, nbytes]
+        rows."""
         from .ops.anchor import (
             PAL_CAP,
             pal_work_for,
             rle2_colsums,
+            rle2_popc,
             rle4_colsums,
+            rle4_popc,
             rle_proto,
             unpack_rle2,
             unpack_rle4,
@@ -767,15 +813,22 @@ class Genome:
                 real = min(max(m - d * C_dev, 0), C_dev)
                 if real == 0:
                     break
-                by_d, popc_d = unpack_rle2(comb[d], cd, C_dev, nbytes,
-                                           out=(out_b[d], out_p[d]))
-                parts_by.append(by_d[:real])
+                if local_devs is None or d in local_devs:
+                    by_d, popc_d = unpack_rle2(comb[d], cd, C_dev, nbytes,
+                                               out=(out_b[d], out_p[d]))
+                    parts_by.append((d * C_dev, by_d[:real]))
+                else:
+                    popc_d = rle2_popc(comb[d], cd, C_dev, nbytes,
+                                       out=out_p[d])
                 parts_popc.append(popc_d[:real])
                 # padding rows carry zero masks, so the full-slice totals
                 # are exact
                 chunk_colsums += rle2_colsums(comb[d], cd, C_dev, N)
-            return (np.concatenate(parts_by), np.concatenate(parts_popc),
-                    chunk_colsums)
+            popc_np = np.concatenate(parts_popc)
+            if local_devs is None:
+                return (np.concatenate([p for _, p in parts_by]), popc_np,
+                        chunk_colsums)
+            return parts_by, popc_np, chunk_colsums
 
         def _drain():
             start, m, halo, outs = pending.pop(0)
@@ -800,15 +853,23 @@ class Genome:
                     if real == 0:
                         break
                     pal_bytes = ppref[d][2: 2 + int(uvals[d])]
-                    by_d, popc_d = unpack_rle4(dpref[d], pal_bytes, cd,
-                                               C_dev, nbytes,
-                                               out=(out_b[d], out_p[d]))
-                    parts_by.append(by_d[:real])
+                    if local_devs is None or d in local_devs:
+                        by_d, popc_d = unpack_rle4(dpref[d], pal_bytes, cd,
+                                                   C_dev, nbytes,
+                                                   out=(out_b[d], out_p[d]))
+                        parts_by.append((d * C_dev, by_d[:real]))
+                    else:
+                        popc_d = rle4_popc(dpref[d], pal_bytes, cd, C_dev,
+                                           nbytes, out=out_p[d])
                     parts_popc.append(popc_d[:real])
                     chunk_colsums += rle4_colsums(dpref[d], pal_bytes, cd,
                                                   C_dev, N)
-                return (start, m, np.concatenate(parts_by),
-                        np.concatenate(parts_popc), chunk_colsums)
+                popc_np = np.concatenate(parts_popc)
+                if local_devs is None:
+                    return (start, m,
+                            np.concatenate([p for _, p in parts_by]),
+                            popc_np, chunk_colsums)
+                return start, m, parts_by, popc_np, chunk_colsums
 
             combined, counts = outs
             cnts = host_view(counts)
@@ -985,11 +1046,34 @@ class Genome:
 
         use_mesh = mesh is not None and sharded is not None
         genome_mesh = False
+        # Multi-host sharded drain+write (SURVEY §5.8): each process
+        # expands and BGZF-writes only its own devices' bitmap rows as
+        # block-aligned piece files; the primary stitches them in position
+        # order (io.bgzf.stitch_bgzf_pieces, no recompression) and builds
+        # the .gzi.  Control flow stays lockstep because the compact RLE
+        # buffers (and all derived histograms) are still decoded by every
+        # process.  PANAGRAM_TPU_SHARD_WRITES=0 restores the full-mirror
+        # behaviour (every process decodes + writes everything).
+        shard_writes = False
+        local_devs = None
+        proc_id = nprocs = 0
         if use_mesh:
             from .parallel.shard import GenomeShardedDict
 
             genome_mesh = isinstance(sharded, GenomeShardedDict)
             t1 = bd = None
+            if not genome_mesh:
+                import jax
+
+                from .parallel.mesh import sharded_writes_enabled
+
+                if sharded_writes_enabled():
+                    shard_writes = True
+                    nprocs = jax.process_count()
+                    proc_id = jax.process_index()
+                    local_devs = frozenset(
+                        d for d, dev in enumerate(mesh.devices.flat)
+                        if dev.process_index == proc_id)
         else:
             # device-side layout: ~3.4x fewer h2d bytes than uploading a
             # host-built padded table (and device_arrays memoizes, so a
@@ -1012,9 +1096,19 @@ class Genome:
             chr_genes = pd.Series([0])
         self.chrs["gene_count"] = chr_genes.reindex(self.chrs.index, fill_value=0)
 
-        writers = {s: BgzfWriter(self.bitmap_gz_fname(s)) for s in self.steps}
+        if shard_writes:
+            from .io.bgzf import BgzfPieceWriter
+
+            writers = {s: BgzfPieceWriter(self._bitmap_piece_fname(s, proc_id))
+                       for s in self.steps}
+        else:
+            writers = {s: BgzfWriter(self.bitmap_gz_fname(s))
+                       for s in self.steps}
         bin_rows = []  # (chr_id, start, counts[0..N])
         paircount_sums = np.zeros(N, np.int64)
+        # file-global row bases for the sharded piece writer: rows (step 1)
+        # and lowres rows written by all previous chromosomes
+        chrom_base1 = chrom_base_low = 0
 
         logger.info("Anchoring Started")
 
@@ -1044,7 +1138,8 @@ class Genome:
                     mesh, sharded, codes, nkmers, chunk)
             elif use_mesh:
                 results = self._mesh_chunk_results(
-                    mesh, sharded, codes, nkmers, chunk)
+                    mesh, sharded, codes, nkmers, chunk,
+                    local_devs=local_devs)
             else:
                 results = self._device_chunk_results(
                     codes, nkmers, chunk, buf, t1, bd, state=chunk_state)
@@ -1059,10 +1154,24 @@ class Genome:
                 start, m, by, popc_np, chunk_colsums = item
 
                 t0 = time.perf_counter()
-                writers[1].write(by)      # buffer protocol: no copy
-                # global-phase lowres downsample (anchor.cpp:169-177)
-                first = (-start) % lowres
-                writers[lowres].write(by[first::lowres].tobytes())
+                if shard_writes:
+                    # `by` is a list of (row_start_in_chunk, rows) pieces
+                    # covering only this process's devices
+                    for row_start, piece in by:
+                        p0 = start + row_start  # chromosome-local position
+                        writers[1].write_piece(
+                            (chrom_base1 + p0) * nbytes, piece)
+                        first = (-p0) % lowres
+                        sel = piece[first::lowres]
+                        if sel.shape[0]:
+                            lr = chrom_base_low + (p0 + lowres - 1) // lowres
+                            writers[lowres].write_piece(
+                                lr * nbytes, sel.tobytes())
+                else:
+                    writers[1].write(by)      # buffer protocol: no copy
+                    # global-phase lowres downsample (anchor.cpp:169-177)
+                    first = (-start) % lowres
+                    writers[lowres].write(by[first::lowres].tobytes())
                 phase["write"] += time.perf_counter() - t0
 
                 # per-bin occupancy histogram contribution
@@ -1083,6 +1192,8 @@ class Genome:
             for b in range(nbins):
                 bin_rows.append((chrom_i, b * binlen, hist[b]))
 
+            chrom_base1 += nkmers
+            chrom_base_low += (nkmers + lowres - 1) // lowres
             logger.info(f"Anchored {chrom}")
 
             if self.annotated and chrom in chr_genes.index:
@@ -1103,8 +1214,29 @@ class Genome:
 
         for w in writers.values():
             w.close()
-        for s in self.steps:
-            writers[s].write_gzi(self.bitmap_gzi_fname(s))
+        if shard_writes:
+            # all processes' piece files must be complete before the
+            # primary stitches; sync_global_devices is the same collective
+            # fabric the build already rides (ICI/DCN on TPU, Gloo on the
+            # CPU test fixture)
+            from jax.experimental import multihost_utils
+
+            from .io.bgzf import stitch_bgzf_pieces
+
+            multihost_utils.sync_global_devices(
+                f"panagram_pieces_{self.name}")
+            if proc_id == 0:
+                for s in self.steps:
+                    paths = [self._bitmap_piece_fname(s, p, peer=True)
+                             for p in range(nprocs)]
+                    stitch_bgzf_pieces(paths, self.bitmap_gz_fname(s),
+                                       self.bitmap_gzi_fname(s))
+                    for p in paths:
+                        os.remove(p)
+                        os.remove(p + ".manifest.npy")
+        else:
+            for s in self.steps:
+                writers[s].write_gzi(self.bitmap_gzi_fname(s))
 
         # total_paircounts.csv (reference index.py:1068-1074)
         tp = pd.DataFrame(
@@ -1136,6 +1268,16 @@ class Genome:
                 f.write(f"{cid}\t{start}\t" + "\t".join(str(int(c)) for c in counts) + "\n")
 
         self.write_chrs()
+
+        if shard_writes and proc_id != 0:
+            # the stitched bitmap lives under the primary's prefix; this
+            # mirror keeps every derived table (the cross-host identity
+            # check) but has no bitmap to re-open
+            logger.info("anchor phases: " + " ".join(
+                f"{name}={v:.1f}s" for name, v in phase.items()))
+            logger.info("non-primary process: bitmap stitched by process "
+                        "0; skipping init_read/umaps")
+            return
 
         t0 = time.perf_counter()
         self.init_read()

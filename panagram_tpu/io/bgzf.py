@@ -175,6 +175,95 @@ class BgzfWriter:
         self.close()
 
 
+class BgzfPieceWriter:
+    """Per-host writer for sharded multi-process bitmap builds.
+
+    Each host of a multi-host mesh build owns an interleaved subset of the
+    bitmap's rows (its devices' slices of every chunk).  write_piece()
+    appends one contiguous run of rows as WHOLE BGZF blocks (flushed at the
+    piece boundary) and records where the run belongs in the final
+    uncompressed stream; stitch_bgzf_pieces() later byte-concatenates all
+    hosts' pieces in stream order — no recompression — and appends the one
+    EOF marker.  The stitched file differs from a single-writer file only
+    in block framing; decompressed bytes are identical (the parity contract
+    of SURVEY §2.4: content, not gzip framing).
+    """
+
+    def __init__(self, path: str, level: int = 6):
+        self.path = str(path)
+        self._w = BgzfWriter(path, level)
+        # (uncompressed_start_in_final_stream, compressed_off,
+        #  compressed_len, uncompressed_len)
+        self.manifest: list[tuple[int, int, int, int]] = []
+
+    def write_piece(self, u_start: int, data):
+        w = self._w
+        c0 = w._coffset
+        n = w.write(data)
+        if n == 0:
+            return
+        w.flush()
+        self.manifest.append((u_start, c0, w._coffset - c0, n))
+
+    def close(self):
+        """Flush (pieces are already block-aligned) and close WITHOUT the
+        EOF marker — the stitched output gets exactly one — then persist
+        the manifest next to the piece file."""
+        w = self._w
+        w.flush()
+        if w._own:
+            w._fh.close()
+        w._closed = True
+        arr = np.asarray(self.manifest, dtype="<u8").reshape(-1, 4)
+        np.save(self.path + ".manifest.npy", arr)
+
+
+def stitch_bgzf_pieces(piece_paths: list, out_path: str,
+                       gzi_path: str | None = None) -> int:
+    """Merge per-host BGZF piece files (written by BgzfPieceWriter) into
+    one position-ordered BGZF file + .gzi.  Pieces are whole-block runs
+    tagged with their uncompressed stream offsets, so the merge is a raw
+    byte concatenation in manifest order; contiguity of the uncompressed
+    coverage is verified so a missing piece fails loudly.  Returns the
+    total uncompressed size."""
+    runs = []  # (u_start, piece_path, comp_off, comp_len, u_len)
+    for p in piece_paths:
+        man = np.load(str(p) + ".manifest.npy")
+        for u_start, c_off, c_len, u_len in man:
+            runs.append((int(u_start), str(p), int(c_off), int(c_len),
+                         int(u_len)))
+    runs.sort(key=lambda r: r[0])
+    tmp = str(out_path) + f".tmp.{os.getpid()}"
+    total_u = 0
+    handles: dict[str, io.BufferedReader] = {}
+    try:
+        with open(tmp, "wb") as out:
+            for u_start, path, c_off, c_len, u_len in runs:
+                if u_start != total_u:
+                    raise ValueError(
+                        f"{out_path}: piece coverage gap at uncompressed "
+                        f"offset {total_u} (next piece starts {u_start})")
+                fh = handles.get(path)
+                if fh is None:
+                    fh = handles[path] = open(path, "rb")
+                fh.seek(c_off)
+                remaining = c_len
+                while remaining:
+                    buf = fh.read(min(remaining, 1 << 20))
+                    if not buf:
+                        raise ValueError(f"{path}: truncated piece file")
+                    out.write(buf)
+                    remaining -= len(buf)
+                total_u += u_len
+            out.write(EOF_MARKER)
+    finally:
+        for fh in handles.values():
+            fh.close()
+    os.replace(tmp, out_path)
+    build_gzi(out_path, gzi_path)
+    return total_u
+
+
 def load_gzi(path: str) -> np.ndarray:
     """Load a .gzi index into the same structured array layout as the
     reference's Genome.load_bgz_blocks (panagram/index.py:793-799):

@@ -495,6 +495,44 @@ def rle4_colsums(data_rows: np.ndarray, pal_bytes: np.ndarray, count: int,
     return (weights[:, None] * bits).sum(axis=0).astype(np.int64)
 
 
+def rle2_popc(data_rows: np.ndarray, count: int, total: int,
+              nbytes: int, out: np.ndarray | None = None) -> np.ndarray:
+    """Popcount-only decode of RLE v3 rows -> i32 [total].
+
+    The multi-host sharded drain (index.Genome._mesh_chunk_results) gives
+    every process the compact RLE buffers (lockstep control flow), but
+    only the owning host expands a shard's mask BYTES; the popcounts —
+    needed on every host for the bin/gene histograms to stay identical —
+    are ~nbytes x cheaper to expand than the bytes."""
+    rowsc = data_rows[:count]
+    popc = _POPC8[rowsc[:, 1 : 1 + nbytes]].sum(axis=1, dtype=np.int32)
+    reps = np.diff(_rle_pos(rowsc), append=total)
+    res = np.repeat(popc, reps)
+    if out is not None:
+        out[:total] = res
+        return out[:total]
+    return res
+
+
+def rle4_popc(data_rows: np.ndarray, pal_bytes: np.ndarray, count: int,
+              total: int, nbytes: int,
+              out: np.ndarray | None = None) -> np.ndarray:
+    """v4 twin of rle2_popc: per-palette-entry popcounts (U rows) gathered
+    through the u16 run indices, then run-length expanded."""
+    pal_popc = _POPC8[np.ascontiguousarray(pal_bytes[:, :nbytes])].sum(
+        axis=1, dtype=np.int32)
+    idx = data_rows[:count, 1].astype(np.int32) \
+        | (data_rows[:count, 2].astype(np.int32) << 8)
+    idx = np.minimum(idx, pal_popc.shape[0] - 1)
+    pos = np.cumsum(data_rows[:count, 0].astype(np.int64))
+    reps = np.diff(pos, append=total)
+    res = np.repeat(pal_popc[idx], reps)
+    if out is not None:
+        out[:total] = res
+        return out[:total]
+    return res
+
+
 # rows per transfer piece (one cached slice program per size).  Bigger
 # pieces mean fewer d2h calls per chunk (matters when the tunnel is in a
 # dispatch-latency-bound mode) at the cost of coarser over-transfer

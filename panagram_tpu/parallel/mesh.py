@@ -54,6 +54,19 @@ def initialize_distributed(coordinator: str | None = None,
     )
 
 
+def sharded_writes_enabled() -> bool:
+    """True when a multi-process mesh build should use the per-host
+    sharded drain + piece writes (each process expands and BGZF-writes
+    only its own devices' bitmap rows; the primary stitches).  Default
+    for any multi-process run; PANAGRAM_TPU_SHARD_WRITES=0 restores the
+    every-process-writes-everything mirror behaviour."""
+    import os
+
+    if os.environ.get("PANAGRAM_TPU_SHARD_WRITES", "1") == "0":
+        return False
+    return jax.process_count() > 1
+
+
 def host_view(x) -> np.ndarray:
     """``np.asarray`` that also works for global (multi-process) arrays.
 

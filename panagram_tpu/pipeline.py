@@ -255,6 +255,17 @@ def anchor_stage(index: Index, name: str, pan_dict=None, force=False,
     outs = [g.chrs_fname, g.bins_fname] + [
         g.bitmap_gz_fname(s) for s in index.steps
     ]
+    if mesh is not None:
+        from .parallel.mesh import sharded_writes_enabled
+
+        if sharded_writes_enabled():
+            # sharded multi-host writes: the stitched bitmap exists only
+            # under the primary's prefix, so every process must key the
+            # resume-skip off THAT copy or the collective call sequences
+            # desynchronize on a partial rerun
+            outs = [g.chrs_fname, g.bins_fname] + [
+                g.primary_bitmap_fname(s) for s in index.steps
+            ]
     ins = [index.dict_fname, g._fasta_path]
     if not force and _outputs_fresh(outs, ins):
         return
@@ -389,4 +400,10 @@ def _build_index_mesh(index: Index, mesh_devices: int, force: bool,
                      sharded=sharded)
 
     dist_stage(index, pan_dict, force=force)
+    from .parallel.mesh import sharded_writes_enabled
+
+    if jax.process_index() != 0 and sharded_writes_enabled():
+        # a non-primary mirror holds only the derived tables (the stitched
+        # bitmaps live under the primary's prefix) — nothing to re-open
+        return index
     return Index(index.prefix)

@@ -213,6 +213,13 @@ def test_anchor_chunk_rle2(rng):
                          bitorder="little")
     assert np.array_equal(rle2_colsums(data_rows, count, P, ngenomes),
                           bits[:, :ngenomes].sum(axis=0))
+    # popc-only decode (the multi-host sharded drain's cheap path)
+    from panagram_tpu.ops.anchor import rle2_popc
+
+    assert np.array_equal(rle2_popc(data_rows, count, P, nbytes), popc)
+    pbuf = np.empty(P + 7, np.int32)
+    assert np.array_equal(
+        rle2_popc(data_rows, count, P, nbytes, out=pbuf), popc)
 
     # overflow detection: a capacity smaller than the run count must
     # surface via the header (data_rows None) with the TRUE count intact
@@ -318,6 +325,8 @@ def test_anchor_chunk_rle4(rng, ngenomes):
                           want_cols)
     assert np.array_equal(
         A.rle4_colsums(data_rows, pal_bytes, count, P, ngenomes), want_cols)
+    assert np.array_equal(
+        A.rle4_popc(data_rows, pal_bytes, count, P, nbytes), popc)
 
     # v3 and v4 must describe the same runs (count parity)
     out3 = A.anchor_chunk_rle2(

@@ -38,7 +38,7 @@ def _subproc_env() -> dict:
     return env
 
 
-def test_two_process_mesh_build_matches_single(rng, tmp_path):
+def _write_pangenome(rng, tmp_path):
     fa_dir = tmp_path / "fa"
     fa_dir.mkdir()
     names = ["g1", "g2", "g3", "g4"]
@@ -48,17 +48,10 @@ def test_two_process_mesh_build_matches_single(rng, tmp_path):
     samples = tmp_path / "samples.tsv"
     samples.write_text("name\tfasta\n" + "\n".join(
         f"{n}\t{fa_dir}/{n}.fa" for n in names) + "\n")
+    return names, samples
 
-    env = _subproc_env()
 
-    # plain single-process reference build
-    ref_dir = tmp_path / "single"
-    subprocess.check_call(
-        [sys.executable, "-m", "panagram_tpu", "index", str(samples),
-         "-o", str(ref_dir), "-k", str(K)], env=env)
-
-    # 2-process x 4-device global-mesh collective build
-    mesh_dir = tmp_path / "mesh2p"
+def _run_mesh_2proc(samples, mesh_dir, env):
     port = _free_port()
     procs = [
         subprocess.Popen(
@@ -72,18 +65,64 @@ def test_two_process_mesh_build_matches_single(rng, tmp_path):
     rcs = [p.wait(timeout=900) for p in procs]
     assert rcs == [0, 0]
 
-    mirror = tmp_path / "mesh2p.p1"   # process 1's write mirror
+
+def test_two_process_mesh_build_matches_single(rng, tmp_path):
+    names, samples = _write_pangenome(rng, tmp_path)
+
+    env = _subproc_env()
+    # small chunks: every chunk spans all 8 devices so BOTH processes own
+    # bitmap rows of every chunk (C_dev = 256/8 = 32 positions)
+    env["PANAGRAM_TPU_CHUNK_LOG2"] = "8"
+
+    # plain single-process reference build
+    ref_dir = tmp_path / "single"
+    subprocess.check_call(
+        [sys.executable, "-m", "panagram_tpu", "index", str(samples),
+         "-o", str(ref_dir), "-k", str(K)], env=env)
+
+    # default: per-host sharded drain + piece writes, primary stitches
+    mesh_dir = tmp_path / "mesh2p"
+    _run_mesh_2proc(samples, mesh_dir, env)
+
+    mirror = tmp_path / "mesh2p.p1"   # process 1's mirror (derived tables)
+    for n in names:
+        for step in (1, 100):
+            want = decompress_file(
+                str(ref_dir / "anchor" / n / f"bitmap.{step}.gz"))
+            got = decompress_file(
+                str(mesh_dir / "anchor" / n / f"bitmap.{step}.gz"))
+            assert got == want, (n, step)
+            # stitched bitmap lives only under the primary; mirrors keep
+            # the derived tables (identity-checked below)
+            assert not (mirror / "anchor" / n / f"bitmap.{step}.gz").exists()
+        # piece files are cleaned up after the stitch
+        assert not list((mesh_dir / "anchor" / n).glob(".bitmap.*.part*"))
+        for tsv in ("total_paircounts.csv", "bitsum.bins.tsv", "chrs.tsv"):
+            want = (ref_dir / "anchor" / n / tsv).read_text()
+            assert (mesh_dir / "anchor" / n / tsv).read_text() == want
+            assert (mirror / "anchor" / n / tsv).read_text() == want
+    assert (mesh_dir / "genome_dist.tsv").exists()
+
+    # the stitched .gzi drives random access (read API on the index)
+    from panagram_tpu.index import Index
+
+    idx = Index(str(mesh_dir))
+    bits = idx.query_bitmap(names[0], "chr1", 100, 200, 1)
+    assert bits.shape == (100, len(names))
+    idx.close()
+
+    # opt-out: full-mirror mode (every process decodes + writes all rows)
+    env0 = dict(env)
+    env0["PANAGRAM_TPU_SHARD_WRITES"] = "0"
+    mesh_dir0 = tmp_path / "mesh2p_mirror"
+    _run_mesh_2proc(samples, mesh_dir0, env0)
+    mirror0 = tmp_path / "mesh2p_mirror.p1"
     for n in names:
         want = decompress_file(str(ref_dir / "anchor" / n / "bitmap.1.gz"))
-        got = decompress_file(str(mesh_dir / "anchor" / n / "bitmap.1.gz"))
-        assert got == want
-        # every host decoded the same collective outputs
-        got1 = decompress_file(str(mirror / "anchor" / n / "bitmap.1.gz"))
-        assert got1 == want
-        assert ((ref_dir / "anchor" / n / "total_paircounts.csv").read_text()
-                == (mesh_dir / "anchor" / n / "total_paircounts.csv")
-                .read_text())
-    assert (mesh_dir / "genome_dist.tsv").exists()
+        assert decompress_file(
+            str(mesh_dir0 / "anchor" / n / "bitmap.1.gz")) == want
+        assert decompress_file(
+            str(mirror0 / "anchor" / n / "bitmap.1.gz")) == want
 
 
 def test_mesh_num_processes_requires_coordinator(tmp_path):
