@@ -518,16 +518,18 @@ def bucket_query_sorted_pre(mhi0: jax.Array, mlo0: jax.Array,
         rows_t = pk.probe_sorted(qhi, qlo, blo, table,
                                  nbits, cap, nwords, span=span, pack=pack,
                                  tile_q=tile_q)
-        # compact the out-of-span positions with a stable 2-operand sort
-        # (flagged first, order preserved) and fix them up with a narrow
-        # gather probe — the scatter this replaced is issue-rate bound
-        # (see ops.anchor._compact_runs).  idx_out is a slice of a
+        # compact the out-of-span positions with a SINGLE-operand sort:
+        # bit 31 = in-span, low bits = position (Qp < 2^31), so ascending
+        # order is "flagged first, position-stable" without carrying a
+        # separate iota operand (the scatter this replaced is issue-rate
+        # bound; see ops.anchor._compact_runs).  idx_out is a slice of a
         # permutation: entries past n_out are DISTINCT unflagged positions
         # whose fixup writes below are masked to their original rows.
-        srt_f = jax.lax.sort((jnp.logical_not(flags),
-                              jnp.arange(Qp, dtype=jnp.int32)),
-                             num_keys=1, is_stable=True)
-        idx_out = jax.lax.slice(srt_f[1], (0,), (fixup,))
+        fiota = jnp.arange(Qp, dtype=jnp.uint32)
+        fkey = jnp.where(flags, fiota, fiota | jnp.uint32(1 << 31))
+        (srt_f,) = jax.lax.sort((fkey,), num_keys=1)
+        idx_out = (jax.lax.slice(srt_f, (0,), (fixup,))
+                   & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
         valid_fix = jnp.arange(fixup, dtype=jnp.int32) < n_out
         sub_m = (qhi[idx_out].astype(jnp.uint64) << U64(32)) \
             | qlo[idx_out].astype(jnp.uint64)

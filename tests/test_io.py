@@ -235,3 +235,47 @@ def test_tabix_long_record_survives_loffset_pruning(tmp_path):
     # and one before the short records still sees the long one
     assert [r[3] for r in tf.fetch("chr1", 1_000, 1_100)] == ["longgene"]
     tf.close()
+
+
+def test_bgzf_piece_writer_stitch(tmp_path, rng):
+    """Multi-host sharded bitmap writes: interleaved per-host piece files
+    stitch (raw block concatenation, no recompression) into one
+    position-ordered BGZF stream with a working .gzi — including pieces
+    larger than one BGZF block and hosts with no pieces at all."""
+    from panagram_tpu.io.bgzf import (
+        MAX_BLOCK_DATA,
+        BgzfPieceWriter,
+        BgzfReader,
+        stitch_bgzf_pieces,
+    )
+
+    data = rng.integers(0, 256, 300_000, dtype=np.uint8).tobytes()
+    # 3 "hosts": host 2 owns nothing (its piece file stays empty);
+    # hosts 0/1 alternate runs, one of which spans multiple blocks
+    cuts = [0, 70_000, 70_123, 200_000, 250_000, 300_000]  # > MAX_BLOCK_DATA run
+    assert cuts[3] - cuts[2] > MAX_BLOCK_DATA
+    writers = [BgzfPieceWriter(str(tmp_path / f"b.p{h}.part")) for h in range(3)]
+    for i in range(len(cuts) - 1):
+        writers[i % 2].write_piece(cuts[i], data[cuts[i]: cuts[i + 1]])
+    for w in writers:
+        w.close()
+
+    out = tmp_path / "b.gz"
+    gzi = tmp_path / "b.gzi"
+    total = stitch_bgzf_pieces([w.path for w in writers], str(out), str(gzi))
+    assert total == len(data)
+    assert decompress_file(str(out)) == data
+    r = BgzfReader(str(out), str(gzi))
+    # probe across a stitch boundary and across a block boundary
+    assert r.read_at(69_990, 200) == data[69_990:70_190]
+    assert r.read_at(cuts[2] + MAX_BLOCK_DATA - 5, 10) == \
+        data[cuts[2] + MAX_BLOCK_DATA - 5: cuts[2] + MAX_BLOCK_DATA + 5]
+    r.close()
+
+    # a coverage gap (missing piece) must fail loudly, not mis-stitch
+    w0 = BgzfPieceWriter(str(tmp_path / "gap.p0.part"))
+    w0.write_piece(0, data[:1000])
+    w0.write_piece(2000, data[2000:3000])   # 1000..2000 missing
+    w0.close()
+    with pytest.raises(ValueError, match="gap"):
+        stitch_bgzf_pieces([w0.path], str(tmp_path / "gap.gz"))
