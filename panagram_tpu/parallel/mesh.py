@@ -67,6 +67,36 @@ def sharded_writes_enabled() -> bool:
     return jax.process_count() > 1
 
 
+def assert_lockstep(tag: str, value):
+    """Fail LOUDLY when `value` differs across the processes of a
+    multi-process mesh build.
+
+    Stage-skip decisions (mtime caching) gate collective work: if one
+    process skips a stage another re-runs, their collective call
+    sequences diverge and the job dies deep in the transport layer with
+    an opaque size-mismatch ("op.preamble.length <= op.nbytes").  This
+    turns that into an immediate, actionable error.  It is ITSELF a
+    collective — call it unconditionally at the decision point on every
+    process.  No-op in single-process runs."""
+    if jax.process_count() <= 1:
+        return
+    import hashlib
+
+    from jax.experimental import multihost_utils
+
+    h = np.frombuffer(
+        hashlib.sha256(repr(value).encode()).digest()[:8], np.uint64)
+    all_h = np.asarray(
+        multihost_utils.process_allgather(h, tiled=True)).reshape(-1)
+    if not (all_h == all_h[0]).all():
+        raise RuntimeError(
+            f"multi-process build desync at '{tag}': processes disagree "
+            f"on a cached-stage decision (value here: {value!r}).  All "
+            "processes must start from equivalent stage states — use "
+            "fresh/equalized output dirs or pass --force on every "
+            "process.")
+
+
 def host_view(x) -> np.ndarray:
     """``np.asarray`` that also works for global (multi-process) arrays.
 

@@ -195,7 +195,14 @@ def build_dict_mesh(index: Index, mesh, force=False):
     out = index.dict_fname
     set_files = [index.kmer_set_fname(n) for n in index.genome_names
                  if index.genomes[n].fasta is not None]
-    if not force and _outputs_fresh([out], set_files):
+    fresh = bool(not force and _outputs_fresh([out], set_files))
+    # the cached path and the collective build run DIFFERENT collective
+    # programs — a cross-process disagreement here must fail loudly, not
+    # die in the transport layer
+    from .parallel.mesh import assert_lockstep
+
+    assert_lockstep("dict-cache", fresh)
+    if fresh:
         pan = PanKmerDict.load(out)
         return shard_dictionary(pan, mesh), pan
 
@@ -267,7 +274,14 @@ def anchor_stage(index: Index, name: str, pan_dict=None, force=False,
                 g.primary_bitmap_fname(s) for s in index.steps
             ]
     ins = [index.dict_fname, g._fasta_path]
-    if not force and _outputs_fresh(outs, ins):
+    skip = bool(not force and _outputs_fresh(outs, ins))
+    if mesh is not None:
+        # a process that skips while a peer re-anchors would desync the
+        # chunk collectives; verify the decision matches everywhere
+        from .parallel.mesh import assert_lockstep
+
+        assert_lockstep(f"anchor-skip:{name}", skip)
+    if skip:
         return
     t0 = time.time()
     if pan_dict is None and sharded is None:

@@ -51,7 +51,7 @@ def _write_pangenome(rng, tmp_path):
     return names, samples
 
 
-def _run_mesh_2proc(samples, mesh_dir, env):
+def _run_mesh_2proc(samples, mesh_dir, env, expect_ok=True):
     port = _free_port()
     procs = [
         subprocess.Popen(
@@ -59,11 +59,14 @@ def _run_mesh_2proc(samples, mesh_dir, env):
              "-o", str(mesh_dir), "-k", str(K), "--mesh", "8",
              "--num-processes", "2", "--process-id", str(pid),
              "--coordinator", f"127.0.0.1:{port}"],
-            env=env)
+            env=env, stderr=subprocess.PIPE)
         for pid in (0, 1)
     ]
-    rcs = [p.wait(timeout=900) for p in procs]
-    assert rcs == [0, 0]
+    outs = [p.communicate(timeout=900) for p in procs]
+    rcs = [p.returncode for p in procs]
+    if expect_ok:
+        assert rcs == [0, 0], [o[1].decode()[-2000:] for o in outs]
+    return rcs, [o[1].decode() for o in outs]
 
 
 def test_two_process_mesh_build_matches_single(rng, tmp_path):
@@ -123,6 +126,14 @@ def test_two_process_mesh_build_matches_single(rng, tmp_path):
             str(mesh_dir0 / "anchor" / n / "bitmap.1.gz")) == want
         assert decompress_file(
             str(mirror0 / "anchor" / n / "bitmap.1.gz")) == want
+
+    # divergent cached-stage states (here: primary's dict cache deleted,
+    # mirror's intact) must fail LOUDLY at the decision point, not die in
+    # the collective transport with an opaque size mismatch
+    (mesh_dir / "kmc" / "pandict.npz").unlink()
+    rcs, errs = _run_mesh_2proc(samples, mesh_dir, env, expect_ok=False)
+    assert any(rc != 0 for rc in rcs)
+    assert any("desync at 'dict-cache'" in e for e in errs), errs[0][-2000:]
 
 
 def test_mesh_num_processes_requires_coordinator(tmp_path):
