@@ -45,9 +45,19 @@ def _write_pangenome(rng, tmp_path):
     for n in names:
         seq = random_seq(rng, 2000, n_frac=0.005)
         (fa_dir / f"{n}.fa").write_text(f">chr1\n{seq}\n")
+    # one annotated genome: exercises the gene-histogram path (popc-only
+    # decodes must agree across hosts) through the sharded drain
+    gff = fa_dir / "g1.gff3"
+    gff.write_text(
+        "##gff-version 3\n"
+        "chr1\tsrc\tgene\t101\t400\t.\t+\t.\tID=gene1;Name=GeneA\n"
+        "chr1\tsrc\tgene\t901\t1500\t.\t-\t.\tID=gene2;Name=GeneB\n"
+    )
     samples = tmp_path / "samples.tsv"
-    samples.write_text("name\tfasta\n" + "\n".join(
-        f"{n}\t{fa_dir}/{n}.fa" for n in names) + "\n")
+    samples.write_text(
+        "name\tfasta\tgff\n"
+        + f"g1\t{fa_dir}/g1.fa\t{gff}\n"
+        + "\n".join(f"{n}\t{fa_dir}/{n}.fa\t" for n in names[1:]) + "\n")
     return names, samples
 
 
@@ -104,7 +114,23 @@ def test_two_process_mesh_build_matches_single(rng, tmp_path):
             want = (ref_dir / "anchor" / n / tsv).read_text()
             assert (mesh_dir / "anchor" / n / tsv).read_text() == want
             assert (mirror / "anchor" / n / tsv).read_text() == want
+    # the annotated genome's gene products (built from the popc-only
+    # decodes every host runs) match the single-process build
+    for f in ("bitsum.genes.tsv", "anno_types.txt"):
+        want = (ref_dir / "anchor" / "g1" / f).read_text()
+        assert (mesh_dir / "anchor" / "g1" / f).read_text() == want
+        assert (mirror / "anchor" / "g1" / f).read_text() == want
+    assert decompress_file(str(mesh_dir / "anchor" / "g1" / "gene.bed.gz")) \
+        == decompress_file(str(ref_dir / "anchor" / "g1" / "gene.bed.gz"))
     assert (mesh_dir / "genome_dist.tsv").exists()
+
+    # resume: a rerun over the SAME dirs must skip every stage in
+    # lockstep (anchor skip keys off the primary's stitched bitmap) and
+    # leave the outputs untouched
+    before = (mesh_dir / "anchor" / names[0] / "bitmap.1.gz").stat().st_mtime
+    _run_mesh_2proc(samples, mesh_dir, env)
+    assert (mesh_dir / "anchor" / names[0]
+            / "bitmap.1.gz").stat().st_mtime == before
 
     # the stitched .gzi drives random access (read API on the index)
     from panagram_tpu.index import Index
