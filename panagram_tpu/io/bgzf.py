@@ -435,7 +435,11 @@ def build_gzi(path: str, gzi_path: str | None = None) -> str:
             if header[0] != 0x1F or header[1] != 0x8B:
                 raise ValueError(f"{path}: bad BGZF magic at {coffset}")
             xlen = struct.unpack("<H", header[10:12])[0]
-            extra = header[12:18]
+            # slice the extra field to its DECLARED length: a member with
+            # XLEN < 6 must not let the BC scan run over compressed payload
+            # bytes (a false match would yield a bogus bsize and a silently
+            # corrupt .gzi; short extras fall through to the loud ValueError)
+            extra = header[12:12 + min(xlen, 6)]
             if xlen > 6:
                 extra += f.read(xlen - 6)
             bsize = None
@@ -443,7 +447,8 @@ def build_gzi(path: str, gzi_path: str | None = None) -> str:
             while i + 4 <= len(extra):
                 si1, si2 = extra[i], extra[i + 1]
                 slen = struct.unpack("<H", extra[i + 2:i + 4])[0]
-                if si1 == 0x42 and si2 == 0x43 and slen == 2:
+                if si1 == 0x42 and si2 == 0x43 and slen == 2 \
+                        and i + 6 <= len(extra):
                     bsize = struct.unpack("<H", extra[i + 4:i + 6])[0] + 1
                     break
                 i += 4 + slen

@@ -183,8 +183,11 @@ def counted_kmers_chunked(code_arrays, k: int, min_count: int = 2,
         buf[pos : pos + n] = codes
         # the separator byte must be EXPLICITLY invalid: after the first
         # flush the buffer holds stale bases from the previous chunk, and a
-        # valid stale byte here would let windows span two reads
-        buf[pos + n] = 255
+        # valid stale byte here would let windows span two reads.  A read of
+        # length exactly cap fills the buffer completely — no separator slot
+        # exists or is needed (the flush below ends the window run).
+        if pos + n < cap:
+            buf[pos + n] = 255
         pos += n + 1
     _flush_chunk()
     _drain_pending(force=True)

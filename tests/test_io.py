@@ -153,6 +153,35 @@ def test_write_fai_rejects_blank_lines_inside_sequence(tmp_path):
     write_fai(str(ok))  # trailing blank before the next record is fine
 
 
+def test_build_gzi_rejects_short_xlen_member(tmp_path):
+    """Regression (ADVICE r4): a mid-file gzip member whose XLEN < 6 must
+    hit the loud 'BC subfield missing' error — the BC scan previously ran
+    over compressed payload bytes and could false-match, writing a silently
+    corrupt .gzi."""
+    import struct as _struct
+    import zlib
+
+    from panagram_tpu.io.bgzf import BgzfWriter, build_gzi
+
+    path = tmp_path / "mixed.gz"
+    with BgzfWriter(str(path)) as w:       # one valid BGZF block first
+        w.write(b"valid bgzf payload\n")
+    raw = path.read_bytes()
+    # append a conformant gzip member with FEXTRA but XLEN=2 (no BC room)
+    co = zlib.compressobj(9, zlib.DEFLATED, -15)
+    payload = b"plain gzip member"
+    deflated = co.compress(payload) + co.flush()
+    member = (b"\x1f\x8b\x08\x04" + b"\x00" * 6
+              + _struct.pack("<H", 2) + b"\x42\x43"  # 'BC' but truncated
+              + deflated
+              + _struct.pack("<I", zlib.crc32(payload))
+              + _struct.pack("<I", len(payload)))
+    # splice before the EOF marker (last 28 bytes of BgzfWriter output)
+    path.write_bytes(raw[:-28] + member + raw[-28:])
+    with pytest.raises(ValueError, match="BC subfield missing"):
+        build_gzi(str(path), str(path) + ".gzi")
+
+
 def test_bgzf_fasta_random_access(tmp_path, rng):
     """bgzip-compressed FASTA gets true random access (.fai offsets in
     uncompressed space + .gzi block seek), no whole-genome load — the

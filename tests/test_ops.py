@@ -221,3 +221,30 @@ def test_counted_kmers_chunked_varied_read_lengths(rng):
     nreads = [np.full(20, 255, np.uint8) for _ in range(20)]
     got = counted_kmers_chunked(iter(nreads), k, min_count=2, chunk=32)
     assert got.size == 0
+
+
+def test_counted_kmers_chunked_read_exactly_buffer_sized(rng):
+    """Regression (ADVICE r4): a read of length exactly chunk+k-1 fills the
+    buffer completely — the separator write one past the end crashed the
+    whole counting stage with IndexError."""
+    from panagram_tpu.ops.count import counted_kmers_chunked
+    from panagram_tpu.ops.ref_impl import canonical_kmers_np
+
+    k = 5
+    chunk = 32
+    cap = chunk + k - 1
+    # exact-cap read alone, and mixed with neighbours that force flushes
+    reads = [rng.integers(0, 4, cap).astype(np.uint8),
+             rng.integers(0, 4, 10).astype(np.uint8),
+             rng.integers(0, 4, cap).astype(np.uint8),
+             rng.integers(0, 4, cap + 1).astype(np.uint8)]  # long-read path
+    allk = []
+    for r in reads:
+        canon, valid = canonical_kmers_np(r, k)
+        allk.append(canon[valid])
+    vals, counts = np.unique(np.concatenate(allk), return_counts=True)
+    for min_count in (1, 2):
+        want = vals[counts >= min_count]
+        got = counted_kmers_chunked(iter(reads), k, min_count=min_count,
+                                    chunk=chunk)
+        assert np.array_equal(got, want), min_count
