@@ -548,6 +548,10 @@ _PIECE = 1 << int(os.environ.get("PANAGRAM_TPU_PIECE_LOG2", "16"))
 # d2h behind compute when the link is slow, at ~rle-buffer host memory per
 # in-flight chunk (env-tunable for link-bound deployments)
 PIPELINE_DEPTH = int(os.environ.get("PANAGRAM_TPU_PIPELINE_DEPTH", "4"))
+# decode pool width: collect+decode of different chunks overlap each other
+# AND the dispatch thread (d2h waits, the ctypes RLE expander, and numpy
+# reductions all release the GIL)
+DECODE_WORKERS = int(os.environ.get("PANAGRAM_TPU_DECODE_WORKERS", "2"))
 _piece_fns: dict = {}
 
 
@@ -773,8 +777,18 @@ def stream_anchor_chunks(codes: np.ndarray, nkmers: int, chunk: int,
     chromosomes so only a genome's very first chunks pay the speculative
     full-prefix transfer.  The transfer protocol (v3 mask rows / v4
     palette) follows rle_proto(nbytes); RLE overflow falls back to the
-    dense anchor_chunk_fast path per chunk."""
+    dense anchor_chunk_fast path per chunk.
+
+    The collect (d2h wait) + host decode of each chunk runs on a small
+    thread pool so a slow-window transfer or a host page-fault stall never
+    blocks the dispatch loop — the device keeps computing the next chunks
+    while earlier ones decode (VERDICT r4 item 1: e2e must stay >= the
+    device-compute rate in BAD tunnel windows, not just good ones).  Each
+    in-flight chunk decodes into its own buffer set from a ring of
+    PIPELINE_DEPTH + 2 (a set is provably idle again by the time it
+    recurs: its yield is 2 yields past before the slot is redispatched)."""
     import time as _time
+    from concurrent.futures import ThreadPoolExecutor
 
     import jax.numpy as _jnp
 
@@ -786,29 +800,33 @@ def stream_anchor_chunks(codes: np.ndarray, nkmers: int, chunk: int,
     pal_work = pal_work_for(capacity)
     if state is None:
         state = {}
-    hint = state.get("hint")
-    pal_hint = state.get("pal_hint")
-    pending = []
+    pending: list = []
 
-    # persistent decode buffers: a fresh ~17 MB allocation per chunk
-    # intermittently stalls >1 s on sandbox page faults (measured; see
-    # rle_expand_native) — fill() commits the pages once.  Safe to reuse:
-    # the consumer fully processes each yielded chunk before the
-    # generator drains the next.
-    out_b = np.empty((chunk, nbytes), np.uint8)
-    out_p = np.empty(chunk, np.int32)
-    out_b.fill(0)
-    out_p.fill(0)
-    if proto == 4:
-        rle_buf = np.empty((pal_work + 1, 3), np.uint8)
-        pal_buf = np.empty((PAL_CAP + 3, rle4_pal_bytes(nbytes)),
-                           np.uint8)
-        v3_tmp = np.empty((capacity + 1, rle_row_bytes(nbytes)), np.uint8)
-        pal_buf.fill(0)
-        v3_tmp.fill(0)
-    else:
-        rle_buf = np.empty((capacity + 2, rle_row_bytes(nbytes)), np.uint8)
-    rle_buf.fill(0)
+    # per-slot persistent decode buffers: a fresh ~17 MB allocation per
+    # chunk intermittently stalls >1 s on sandbox page faults (measured;
+    # see rle_expand_native) — fill() commits the pages once.
+    nslots = PIPELINE_DEPTH + 2
+
+    class _Slot:
+        __slots__ = ("out_b", "out_p", "rle_buf", "pal_buf", "v3_tmp")
+
+        def __init__(self):
+            self.out_b = np.empty((chunk, nbytes), np.uint8)
+            self.out_p = np.empty(chunk, np.int32)
+            self.out_b.fill(0)
+            self.out_p.fill(0)
+            if proto == 4:
+                self.rle_buf = np.empty((pal_work + 1, 3), np.uint8)
+                self.pal_buf = np.empty(
+                    (PAL_CAP + 3, rle4_pal_bytes(nbytes)), np.uint8)
+                self.pal_buf.fill(0)
+            else:
+                self.rle_buf = np.empty(
+                    (capacity + 2, rle_row_bytes(nbytes)), np.uint8)
+            self.rle_buf.fill(0)
+            self.v3_tmp = None   # v4 palette-overflow fallback only (rare)
+
+    slots = [_Slot() for _ in range(nslots)]
 
     def _dense(inbuf, L, m):
         n4 = (L + 3) // 4
@@ -818,7 +836,7 @@ def stream_anchor_chunks(codes: np.ndarray, nkmers: int, chunk: int,
         return (np.asarray(by_d)[:m], np.asarray(popc_d)[:m].astype(np.int32),
                 np.asarray(colsums_d)[:ngenomes])
 
-    def _v3_chunk(inbuf, L, m):
+    def _v3_chunk(inbuf, L, m, slot):
         """Palette overflow fallback: the v3 kernel handles ANY run count
         up to `capacity` and still ships only count*(1+nbytes) bytes —
         strictly cheaper than the dense path's P*nbytes."""
@@ -831,28 +849,32 @@ def stream_anchor_chunks(codes: np.ndarray, nkmers: int, chunk: int,
         if data_rows is None:           # count > capacity: impossible by
             return _dense(inbuf, L, m)  # construction, kept as a backstop
         by, popc_np = unpack_rle2(data_rows, count, P, nbytes,
-                                  out=(out_b[:P], out_p[:P]))
+                                  out=(slot.out_b[:P], slot.out_p[:P]))
         return (by[:m], popc_np[:m],
                 rle2_colsums(data_rows, count, P, ngenomes))
 
-    def _drain():
-        nonlocal hint, pal_hint
+    def _decode(item):
+        """Collect + decode one in-flight chunk (runs on a pool thread:
+        the d2h wait, the native RLE expansion, and the colsum reductions
+        all release the GIL, so decodes overlap both each other and the
+        dispatch thread's device work)."""
         t0 = _time.perf_counter()
-        start, m, L, inbuf, combined, prefix = pending.pop(0)
+        start, m, L, inbuf, combined, prefix, slot = item
         P = L - k + 1
         if proto == 4:
             data, pal = combined
             data_rows, pal_bytes, count, U = collect_rle4(
-                prefix, data, pal, pal_work, out=rle_buf, pal_out=pal_buf)
+                prefix, data, pal, pal_work,
+                out=slot.rle_buf, pal_out=slot.pal_buf)
             t1 = _time.perf_counter()
             if data_rows is None:       # palette overflow: v3 fallback
-                by, popc_np, chunk_colsums = _v3_chunk(inbuf, L, m)
+                by, popc_np, chunk_colsums = _v3_chunk(inbuf, L, m, slot)
             else:
-                hint = state["hint"] = count
-                pal_hint = state["pal_hint"] = U
+                state["hint"] = count
+                state["pal_hint"] = U
                 by, popc_np = unpack_rle4(
                     data_rows, pal_bytes, count, P, nbytes,
-                    out=(out_b[:P], out_p[:P]), tmp=v3_tmp)
+                    out=(slot.out_b[:P], slot.out_p[:P]), tmp=slot.v3_tmp)
                 by = by[:m]
                 popc_np = popc_np[:m]
                 chunk_colsums = rle4_colsums(data_rows, pal_bytes, count,
@@ -863,14 +885,16 @@ def stream_anchor_chunks(codes: np.ndarray, nkmers: int, chunk: int,
                       f"decode={1e3*(_time.perf_counter()-t1):.0f}ms",
                       file=sys.stderr, flush=True)
         else:
-            data_rows, count = collect_rle2(prefix, combined, out=rle_buf)
+            data_rows, count = collect_rle2(prefix, combined,
+                                            out=slot.rle_buf)
             t1 = _time.perf_counter()
             if data_rows is None:       # RLE overflow: dense fallback
                 by, popc_np, chunk_colsums = _dense(inbuf, L, m)
             else:
-                hint = state["hint"] = count
-                by, popc_np = unpack_rle2(data_rows, count, P, nbytes,
-                                          out=(out_b[:P], out_p[:P]))
+                state["hint"] = count
+                by, popc_np = unpack_rle2(
+                    data_rows, count, P, nbytes,
+                    out=(slot.out_b[:P], slot.out_p[:P]))
                 by = by[:m]
                 popc_np = popc_np[:m]
                 chunk_colsums = rle2_colsums(data_rows, count, P, ngenomes)
@@ -881,28 +905,39 @@ def stream_anchor_chunks(codes: np.ndarray, nkmers: int, chunk: int,
                       file=sys.stderr, flush=True)
         return start, m, by, popc_np, chunk_colsums
 
-    for start in range(0, nkmers, chunk):
-        m = min(chunk, nkmers - start)
-        buf[:] = 255
-        buf[: m + k - 1] = codes[start : start + m + k - 1]
-        inbuf, L = pack_bases_combined(buf)
-        ib = _jnp.asarray(inbuf)
-        if proto == 4:
-            combined = anchor_chunk_rle4(
-                ib, table, L, k, bd.nbits, bd.cap, bd.nwords, nbytes,
-                pal_work)
-            prefix = dispatch_rle4_prefix(combined[0], combined[1],
-                                          hint, pal_hint)
-        else:
-            combined = anchor_chunk_rle2(
-                ib, table, L, k, bd.nbits, bd.cap, bd.nwords, nbytes,
-                capacity)
-            prefix = dispatch_rle_prefix(combined, hint)
-        pending.append((start, m, L, inbuf, combined, prefix))
-        if len(pending) >= PIPELINE_DEPTH:
-            yield _drain()
-    while pending:
-        yield _drain()
+    ex = ThreadPoolExecutor(max_workers=DECODE_WORKERS,
+                            thread_name_prefix="panagram-decode")
+    try:
+        for i, start in enumerate(range(0, nkmers, chunk)):
+            m = min(chunk, nkmers - start)
+            buf[:] = 255
+            buf[: m + k - 1] = codes[start : start + m + k - 1]
+            inbuf, L = pack_bases_combined(buf)
+            ib = _jnp.asarray(inbuf)
+            hint = state.get("hint")
+            pal_hint = state.get("pal_hint")
+            if proto == 4:
+                combined = anchor_chunk_rle4(
+                    ib, table, L, k, bd.nbits, bd.cap, bd.nwords, nbytes,
+                    pal_work)
+                prefix = dispatch_rle4_prefix(combined[0], combined[1],
+                                              hint, pal_hint)
+            else:
+                combined = anchor_chunk_rle2(
+                    ib, table, L, k, bd.nbits, bd.cap, bd.nwords, nbytes,
+                    capacity)
+                prefix = dispatch_rle_prefix(combined, hint)
+            pending.append(ex.submit(
+                _decode, (start, m, L, inbuf, combined, prefix,
+                          slots[i % nslots])))
+            if len(pending) >= PIPELINE_DEPTH:
+                yield pending.pop(0).result()
+        while pending:
+            yield pending.pop(0).result()
+    finally:
+        for f in pending:
+            f.cancel()
+        ex.shutdown(wait=True, cancel_futures=True)
 
 
 @partial(jax.jit, static_argnums=(3,))

@@ -176,6 +176,13 @@ class DeviceDictBuilder:
         self._pending = 0       # merges since the last sync
         self._buf = []          # buffered chunk key-sets (one genome)
         self._buf_gid = None
+        # stage walls (seconds), for the count+merge breakdown the scale
+        # rows report (VERDICT r4 item 2): dispatch walls measure QUEUEING
+        # cost only — all device work lands in 'sync', the one blocking
+        # read per flush
+        self.walls = {"pack": 0.0, "chunk_dispatch": 0.0,
+                      "union_dispatch": 0.0, "merge_dispatch": 0.0,
+                      "sync": 0.0, "first_sync": 0.0, "flushes": 0}
         if capacity_hint:
             # pre-size so the merge program compiles exactly once (capacity
             # growth would otherwise recompile per power-of-two step — very
@@ -214,15 +221,22 @@ class DeviceDictBuilder:
             self._flush_buffer()
         self._buf_gid = gid
 
+        import time as _time
+
         chunk = self.chunk
         buf = np.full(chunk + k - 1, 255, np.uint8)
         for start in range(0, n, chunk):
             m = min(chunk, n - start)
+            t0 = _time.perf_counter()
             buf[:] = 255
             buf[: m + k - 1] = codes[start : start + m + k - 1]
             packed, nmask, L = pack_bases_np(buf)
+            t1 = _time.perf_counter()
             self._buf.append(_chunk_mixed_distinct(
                 jnp.asarray(packed), jnp.asarray(nmask), (L, k)))
+            t2 = _time.perf_counter()
+            self.walls["pack"] += t1 - t0
+            self.walls["chunk_dispatch"] += t2 - t1
             if len(self._buf) >= self.FLUSH_CHUNKS:
                 self._flush_buffer()
 
@@ -233,8 +247,11 @@ class DeviceDictBuilder:
         (add_sequence resets it on a genome switch)."""
         if not self._buf:
             return
+        import time as _time
+
         parts = self._buf
         self._buf = []
+        t0 = _time.perf_counter()
         # pad to a power of two with SENTINEL-only arrays so the union
         # tree only ever sees (c,c), (2c,2c), ... shapes — a handful of
         # compiled programs regardless of how many chunks a genome ends
@@ -250,15 +267,23 @@ class DeviceDictBuilder:
             parts = nxt
         new_keys = parts[0]
         gid = self._buf_gid
+        t1 = _time.perf_counter()
         # capacity must cover the worst case (every buffered key new) so
         # the truncated merge output is always complete; ONE count sync
         # per flush
         self._sync_count()
+        t2 = _time.perf_counter()
         self._ensure_capacity(self.count + new_keys.shape[0])
         self.keys, self.masks, cnt = _merge_into(
             self.keys, self.masks, new_keys, self.nwords, jnp.int32(gid))
         self._cnt_dev = cnt
         self._pending += 1
+        self.walls["union_dispatch"] += t1 - t0
+        self.walls["sync"] += t2 - t1
+        if self.walls["flushes"] == 0:
+            self.walls["first_sync"] = t2 - t1
+        self.walls["merge_dispatch"] += _time.perf_counter() - t2
+        self.walls["flushes"] += 1
 
     def _sync_count(self):
         if self._cnt_dev is not None and self._pending:
@@ -268,8 +293,12 @@ class DeviceDictBuilder:
     def synced_count(self) -> int:
         """The exact key count (one device round trip if merges are
         pending) — for progress logs and final sizing."""
+        import time as _time
+
         self._flush_buffer()
+        t0 = _time.perf_counter()
         self._sync_count()
+        self.walls["sync"] += _time.perf_counter() - t0
         return self.count
 
     def add_genome(self, gid: int, code_arrays):

@@ -175,9 +175,14 @@ def build_dict_device(index: Index, force=False) -> str:
     d = b.to_host()
     d.save(out)
     save_s = time.perf_counter() - tp
+    w = b.walls
     logger.info(
         f"dict phases: io={phase['io']:.1f}s device={phase['device']:.1f}s "
-        f"to_host+save={save_s:.1f}s")
+        f"to_host+save={save_s:.1f}s | pack={w['pack']:.1f}s "
+        f"chunk_disp={w['chunk_dispatch']:.1f}s "
+        f"union_disp={w['union_dispatch']:.1f}s "
+        f"merge_disp={w['merge_dispatch']:.1f}s sync={w['sync']:.1f}s "
+        f"(first {w['first_sync']:.1f}s) over {w['flushes']} flushes")
     _benchmark(index.prefix, "dict", t0)
     logger.info(f"device dictionary: {len(d)} keys x {d.nwords} words")
     return out
