@@ -1075,6 +1075,14 @@ class Genome:
                         d for d, dev in enumerate(mesh.devices.flat)
                         if dev.process_index == proc_id)
         else:
+            # queue the anchor-chunk compile for the EXACT table geometry
+            # before building the layout: the remote compile runs
+            # concurrently with the layout work below instead of serially
+            # after it (ops/prewarm.py; no-op when already compiled)
+            from .ops.prewarm import prewarm_anchor_programs
+
+            prewarm_anchor_programs(k, N, ANCHOR_CHUNK,
+                                    [len(pan_dict.keys)])
             # device-side layout: ~3.4x fewer h2d bytes than uploading a
             # host-built padded table (and device_arrays memoizes, so a
             # shared `bucketed` uploads nothing per genome)

@@ -1,0 +1,195 @@
+"""Concurrent AOT prewarming of jitted programs.
+
+On the target rig every XLA compile goes through a remote service at
+30-500 s per program and the on-disk persistent compile cache does NOT
+work (the axon PJRT plugin never serializes executables — /tmp/jax_cache
+stays empty), so each process pays every distinct program once, serially,
+exactly when a stage first needs it.  Round-4's 30-genome scale row spent
+~370 s of its 384 s "count+merge" wall on these compiles, not on device
+work (tools/dict_ablate.py: chunk kernel 82 s + union 34 s + merge 50 s
+compile vs ~0.5 s steady execution each).
+
+Two measured properties make the wall collapsible
+(tools/compile_parallel_probe.py, tools/dict_ablate.py):
+  1. independent compiles run CONCURRENTLY on the service
+     (serial 50 s -> concurrent 33 s = max, not sum);
+  2. ``fn.lower(ShapeDtypeStruct...).compile()`` seeds the service-side
+     memo, so the later real call is cheap (33.6 s -> 4.8 s measured).
+
+So: fire ``lower().compile()`` for every program a stage WILL need on a
+small thread pool at stage start — abstract shapes only, no device
+buffers, no device execution — and the sum-of-compiles becomes ~max(),
+overlapped with whatever IO/host work runs meanwhile.  A mispredicted
+shape wastes only service time (the pool is concurrent); it can never
+corrupt results because nothing executes.
+
+The reference has no analogue (CPU binaries compile at build time); this
+is the TPU-native answer to the same latency (SURVEY §5.7 startup costs).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import threading
+from concurrent.futures import Future, ThreadPoolExecutor
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger("panagram_tpu")
+
+_pool: ThreadPoolExecutor | None = None
+_pool_lock = threading.Lock()
+_futures: list[Future] = []
+
+# cap concurrent compile requests (service courtesy; measured fine at 2,
+# the dict+anchor stage sets fit comfortably)
+_WORKERS = int(os.environ.get("PANAGRAM_TPU_PREWARM_WORKERS", "6"))
+
+
+def _get_pool() -> ThreadPoolExecutor:
+    global _pool
+    with _pool_lock:
+        if _pool is None:
+            _pool = ThreadPoolExecutor(
+                max_workers=_WORKERS, thread_name_prefix="panagram-prewarm")
+        return _pool
+
+
+def enabled() -> bool:
+    """Prewarming is on by default; PANAGRAM_TPU_PREWARM=0 disables (e.g.
+    for compile-cost measurements)."""
+    return os.environ.get("PANAGRAM_TPU_PREWARM", "1") != "0"
+
+
+def submit(label: str, fn, *args) -> Future | None:
+    """Queue one AOT compile: fn.lower(*args).compile() on the pool.
+
+    args mix ShapeDtypeStructs (traced) and real values (static);
+    failures are logged and swallowed — a warm miss must never break the
+    build."""
+    if not enabled():
+        return None
+
+    def _work():
+        import time
+
+        t0 = time.perf_counter()
+        try:
+            fn.lower(*args).compile()
+            logger.info(
+                f"prewarm {label}: compiled in "
+                f"{time.perf_counter() - t0:.1f}s")
+        except Exception as e:  # noqa: BLE001 - warm misses are non-fatal
+            logger.info(f"prewarm {label}: skipped ({type(e).__name__}: {e})")
+
+    f = _get_pool().submit(_work)
+    _futures.append(f)
+    return f
+
+
+def wait_all(timeout: float | None = None):
+    """Barrier for tests/tools; production never waits."""
+    for f in list(_futures):
+        try:
+            f.result(timeout=timeout)
+        except Exception:  # noqa: BLE001
+            pass
+
+
+def _sds(shape, dtype):
+    return jax.ShapeDtypeStruct(tuple(shape), dtype)
+
+
+def _pow2ceil(n: int) -> int:
+    return 1 << max(int(np.ceil(np.log2(max(n, 1)))), 0)
+
+
+def prewarm_dict_programs(k: int, ngenomes: int, chunk: int,
+                          capacity: int, genome_kmer_counts):
+    """Queue compiles for everything DeviceDictBuilder will run: the
+    chunk distinct-kmer kernel, the union-tree shapes, and the
+    capacity-sized merges the given genome sizes will produce."""
+    if not enabled():
+        return
+    from .devdict import _chunk_mixed_distinct, _merge_into, _union_sorted
+
+    W = (ngenomes + 31) // 32
+    L = chunk + k - 1
+    n4, n8 = -(-L // 4), -(-L // 8)
+    submit("dict.chunk_kernel", _chunk_mixed_distinct,
+           _sds((n4,), jnp.uint8), _sds((n8,), jnp.uint8), (L, k))
+
+    # union tree levels + merge new_keys sizes implied by the flush rule
+    # (FLUSH_CHUNKS=8 mid-genome, remainder at genome end)
+    union_sizes: set[int] = set()
+    merge_sizes: set[int] = set()
+    from .devdict import DeviceDictBuilder
+
+    FC = DeviceDictBuilder.FLUSH_CHUNKS
+    for nk in genome_kmer_counts:
+        nch = max(-(-int(nk) // chunk), 1)
+        for flush in ([FC] * (nch // FC) + ([nch % FC] if nch % FC else [])):
+            p = _pow2ceil(flush)
+            merge_sizes.add(chunk * p)
+            s = chunk
+            while s < chunk * p:
+                union_sizes.add(s)
+                s *= 2
+    for s in sorted(union_sizes):
+        submit(f"dict.union_{s}", _union_sorted,
+               _sds((s,), jnp.uint64), _sds((s,), jnp.uint64))
+    for m in sorted(merge_sizes):
+        submit(f"dict.merge_{m}", _merge_into,
+               _sds((capacity,), jnp.uint64),
+               _sds((capacity, W), jnp.uint32),
+               _sds((m,), jnp.uint64), W,
+               _sds((), jnp.int32))
+
+
+def prewarm_anchor_programs(k: int, ngenomes: int, chunk: int,
+                            d_estimates, capacity: int | None = None):
+    """Queue compiles for the streamed anchor engine against a dictionary
+    of ~D keys, for each candidate D in `d_estimates` (layout geometry is
+    pow2-quantized, so bracketing the estimate catches the real table
+    shape; a miss costs only concurrent service time)."""
+    if not enabled():
+        return
+    from .anchor import (
+        anchor_chunk_rle2,
+        anchor_chunk_rle4,
+        pal_work_for,
+        rle_proto,
+    )
+    from .lookup import row_pack, table_geometry
+
+    W = (ngenomes + 31) // 32
+    nbytes = (ngenomes + 7) // 8
+    L = chunk + k - 1
+    inlen = -(-L // 4) + (-(-L // 8))
+    cap_rle = capacity if capacity is not None else chunk
+    pal_work = pal_work_for(cap_rle)
+    proto = rle_proto(nbytes)
+    seen: set[tuple] = set()
+    for D in d_estimates:
+        nbits, cap, stride = table_geometry(max(int(D), 1), W)
+        nbits = max(nbits, 2)
+        B = 1 << nbits
+        pack = row_pack(stride, B)
+        tshape = (B // pack, stride * pack)
+        key = (tshape, nbits)
+        if key in seen:
+            continue
+        seen.add(key)
+        if proto == 4:
+            submit(f"anchor.rle4_D{D}", anchor_chunk_rle4,
+                   _sds((inlen,), jnp.uint8),
+                   _sds(tshape, jnp.uint32),
+                   L, k, nbits, cap, W, nbytes, pal_work)
+        else:
+            submit(f"anchor.rle2_D{D}", anchor_chunk_rle2,
+                   _sds((inlen,), jnp.uint8),
+                   _sds(tshape, jnp.uint32),
+                   L, k, nbits, cap, W, nbytes, cap_rle)

@@ -27,6 +27,16 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            # a silently truncated mesh produces WRONG results downstream
+            # (callers decode outputs assuming n_devices shards) — fail
+            # loudly instead; on CPU runs the 8-virtual-device env must be
+            # in place before the interpreter starts (tests/conftest.py)
+            raise ValueError(
+                f"make_mesh: {n_devices} devices requested but only "
+                f"{len(devices)} visible ({[str(d) for d in devices]}); "
+                f"set XLA_FLAGS=--xla_force_host_platform_device_count="
+                f"{n_devices} (before process start) or lower --mesh")
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (DICT_AXIS,))
 

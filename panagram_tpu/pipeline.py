@@ -155,6 +155,24 @@ def build_dict_device(index: Index, force=False) -> str:
     hint = int(max(sizes) * 1.5) if sizes else None
 
     b = DeviceDictBuilder(index.k, index.ngenomes, capacity_hint=hint)
+    # fire every compile this stage AND the anchor stage will need on the
+    # prewarm pool NOW: the remote compile service runs them concurrently
+    # (sum -> max) while the FASTA streaming below proceeds — round-4's
+    # 384 s count+merge wall was ~96% these compiles (tools/dict_ablate.py)
+    if b.keys is not None:
+        from .ops.prewarm import prewarm_anchor_programs, prewarm_dict_programs
+
+        kmer_counts = [max(s - index.k + 1, 1) for s in sizes]
+        prewarm_dict_programs(index.k, index.ngenomes, b.chunk,
+                              b.keys.shape[0], kmer_counts)
+        # anchor-table geometry from bracketed D estimates (pow2-quantized
+        # layouts make the bracket forgiving; a miss only wastes service
+        # time).  hint is max-genome x 1.5; the union across genomes lands
+        # between hint and a few x hint.
+        from .index import ANCHOR_CHUNK
+
+        prewarm_anchor_programs(index.k, index.ngenomes, ANCHOR_CHUNK,
+                                [hint, 2 * hint, 4 * hint])
     phase = {"io": 0.0, "device": 0.0}
     for gid, name in enumerate(index.genome_names):
         g = index.genomes[name]
