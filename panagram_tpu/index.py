@@ -1086,10 +1086,14 @@ class Genome:
             # device-side layout: ~3.4x fewer h2d bytes than uploading a
             # host-built padded table (and device_arrays memoizes, so a
             # shared `bucketed` uploads nothing per genome)
+            # mixed-space dictionaries are stored globally sorted by mixed
+            # value (devdict merge invariant / shard-major gather), so the
+            # layout can skip its grouping sort (halved HBM transients)
+            is_mixed = getattr(pan_dict, "key_space", "canon") == "mixed"
             bd = bucketed if bucketed is not None else \
                 BucketedDict.build_device(
                     pan_dict.keys, pan_dict.masks, N, k,
-                    mixed=(getattr(pan_dict, "key_space", "canon") == "mixed"))
+                    mixed=is_mixed, sorted_input=is_mixed)
             (t1,) = bd.device_arrays()
 
         if self.chrs is None:

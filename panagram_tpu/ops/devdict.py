@@ -176,6 +176,7 @@ class DeviceDictBuilder:
         self._pending = 0       # merges since the last sync
         self._buf = []          # buffered chunk key-sets (one genome)
         self._buf_gid = None
+        self._buf_real = 0      # upper bound on REAL keys in the buffer
         # stage walls (seconds), for the count+merge breakdown the scale
         # rows report (VERDICT r4 item 2): dispatch walls measure QUEUEING
         # cost only — all device work lands in 'sync', the one blocking
@@ -234,6 +235,7 @@ class DeviceDictBuilder:
             t1 = _time.perf_counter()
             self._buf.append(_chunk_mixed_distinct(
                 jnp.asarray(packed), jnp.asarray(nmask), (L, k)))
+            self._buf_real += m
             t2 = _time.perf_counter()
             self.walls["pack"] += t1 - t0
             self.walls["chunk_dispatch"] += t2 - t1
@@ -267,13 +269,20 @@ class DeviceDictBuilder:
             parts = nxt
         new_keys = parts[0]
         gid = self._buf_gid
+        real_bound = self._buf_real
+        self._buf_real = 0
         t1 = _time.perf_counter()
         # capacity must cover the worst case (every buffered key new) so
         # the truncated merge output is always complete; ONE count sync
-        # per flush
+        # per flush.  The worst case is bounded by the number of REAL
+        # (non-sentinel) buffered keys — the chunk position count, tracked
+        # for free — NOT the pow2-padded array size: the padded bound
+        # forced a spurious capacity double (and a ~60 s merge recompile)
+        # mid-build on the 30-genome row
         self._sync_count()
         t2 = _time.perf_counter()
-        self._ensure_capacity(self.count + new_keys.shape[0])
+        self._ensure_capacity(self.count
+                              + min(int(new_keys.shape[0]), real_bound))
         self.keys, self.masks, cnt = _merge_into(
             self.keys, self.masks, new_keys, self.nwords, jnp.int32(gid))
         self._cnt_dev = cnt
@@ -326,6 +335,10 @@ class DeviceDictBuilder:
 
         self._flush_buffer()
         self._sync_count()
+        # the merge invariant keeps self.keys globally sorted by mixed
+        # value — the sorted layout path halves HBM transients (no
+        # grouping sort), keeping 1e8-key tables on device
         return BucketedDict.build_device(self.keys, self.masks,
                                          self.ngenomes, self.k,
-                                         mixed=True, count=self.count)
+                                         mixed=True, count=self.count,
+                                         sorted_input=True)

@@ -108,7 +108,7 @@ def hbm_limit_bytes() -> int:
 
 def check_hbm_budget(D: int, W: int, n_shards: int = 1,
                      what: str = "dictionary",
-                     device_layout: bool = True,
+                     device_layout: bool | str = True,
                      include_table: bool = True):
     """Fail LOUDLY (before any allocation) when a requested dictionary
     cannot fit one chip's HBM, instead of OOM-crashing mid-build.
@@ -137,8 +137,15 @@ def check_hbm_budget(D: int, W: int, n_shards: int = 1,
     per_shard = -(-D // max(n_shards, 1))
     nbits, cap, stride = table_geometry(per_shard, W)
     table = (1 << nbits) * stride * 4 if include_table else 0
-    trans = 4 if device_layout else 0
-    layout = (8 + 4 * W) * per_shard * trans
+    if device_layout == "sorted":
+        # no grouping sort: inputs stay live (8 + 4W B/key) plus the i32
+        # slot/base transients (~12 B/key) — about half the sorting
+        # layout's footprint, which keeps 1e8-key layouts on device
+        layout = (8 + 4 * W + 12) * per_shard
+    else:
+        trans = 4 if device_layout else 0
+        layout = (8 + 4 * W) * per_shard * trans
+    per_key_layout = layout / max(per_shard, 1)
     need = table + layout
     budget = int(hbm_limit_bytes() * 0.8)  # reserve for chunk buffers
     if need > budget:
@@ -148,7 +155,7 @@ def check_hbm_budget(D: int, W: int, n_shards: int = 1,
             n_fit *= 2
             nb2, _, _ = table_geometry(-(-D // n_fit), W)
             t2 = (1 << nb2) * stride * 4 if include_table else 0
-            if t2 + (8 + 4 * W) * (-(-D // n_fit)) * trans <= budget:
+            if t2 + per_key_layout * (-(-D // n_fit)) <= budget:
                 break
         raise RuntimeError(
             f"{what}: {D:,} keys x {W} mask words needs ~{need / 1e9:.1f} GB "
@@ -245,28 +252,37 @@ class BucketedDict:
     @classmethod
     def build_device(cls, keys, masks, ngenomes: int, k: int,
                      mixed: bool = False, count: int | None = None,
-                     min_nbits: int = 2) -> "BucketedDict":
+                     min_nbits: int = 2,
+                     sorted_input: bool = False) -> "BucketedDict":
         """Device-side layout: same result as build() but the argsort +
         scatter run on the accelerator and `table` stays a device array —
         no host round-trip of the table (SURVEY §7.4.2 scale requirement).
 
         keys may be SENTINEL-padded (e.g. the device-resident builder's
         fixed-capacity arrays); `count` is the number of real keys (for
-        sizing only; defaults to len(keys))."""
+        sizing only; defaults to len(keys)).  sorted_input=True asserts
+        keys are already globally sorted by MIXED value (requires
+        mixed=True; the device builder's merge invariant) — the layout
+        then skips its grouping sort, roughly halving HBM transients, so
+        1e8-key tables lay out on device instead of the host fallback."""
         D = max(int(count) if count is not None else len(keys), 1)
         W = masks.shape[1] if masks.ndim == 2 else 1
         keys = jnp.asarray(keys, jnp.uint64)
         masks = jnp.asarray(masks, jnp.uint32).reshape(keys.shape[0], W)
+        assert not sorted_input or mixed, \
+            "sorted_input requires mixed-space keys"
 
         nbits, cap, stride = table_geometry(D, W)
         nbits = max(nbits, min_nbits)
         try:
-            check_hbm_budget(D, W, what="bucketed dict (device layout)")
+            check_hbm_budget(
+                D, W, what="bucketed dict (device layout)",
+                device_layout="sorted" if sorted_input else True)
         except RuntimeError:
             # table alone fits but the device layout's transients do not:
             # route the LAYOUT via host (numpy bucket sort + one upload;
-            # the 1e8-key regime) — only re-raise when even the finished
-            # table cannot fit, where --mesh is the real answer
+            # beyond even the sorted path's budget) — only re-raise when
+            # the finished table cannot fit, where --mesh is the answer
             check_hbm_budget(D, W, what="bucketed dict",
                              device_layout=False)
             import logging
@@ -284,7 +300,7 @@ class BucketedDict:
             # difference between fitting HBM and not (pre-mixed keys pass
             # straight through — no extra array at all)
             table, overflow = _layout_device(keys, masks, nbits, cap,
-                                             stride, mixed)
+                                             stride, mixed, sorted_input)
             if int(overflow) == 0:
                 pack = row_pack(stride, 1 << nbits)
                 table = table.reshape((1 << nbits) // pack, stride * pack)
@@ -297,7 +313,7 @@ class BucketedDict:
 
 def layout_rows(m: jax.Array, masks: jax.Array, bucket: jax.Array,
                 n_buckets: int, cap: int, stride: int,
-                bucket_in_key: bool = False):
+                bucket_in_key: bool = False, pre_sorted: bool = False):
     """Traced core of the device bucket layout (also used inside the
     distributed build's shard_map body, parallel/shard.py).
 
@@ -322,8 +338,16 @@ def layout_rows(m: jax.Array, masks: jax.Array, bucket: jax.Array,
 
     if bucket_in_key:
         nbits = (n_buckets - 1).bit_length()
-        ops = (m,) + tuple(masks[:, w] for w in range(W))
-        srt = jax.lax.sort(ops, num_keys=1)
+        if pre_sorted:
+            # input already globally sorted by mixed key (the device
+            # builder's merge output) — the grouping sort is a no-op, and
+            # DROPPING it cuts the layout's HBM transients ~2x: the sort's
+            # in+out operand copies were what forced the >9e7-key host
+            # fallback (VERDICT r4 item 5)
+            srt = (m,) + tuple(masks[:, w] for w in range(W))
+        else:
+            ops = (m,) + tuple(masks[:, w] for w in range(W))
+            srt = jax.lax.sort(ops, num_keys=1)
         ms = srt[0]
         real_s = ms != jnp.uint64(0xFFFFFFFFFFFFFFFF)
         bs = jnp.where(real_s,
@@ -339,13 +363,17 @@ def layout_rows(m: jax.Array, masks: jax.Array, bucket: jax.Array,
         srt = jax.lax.sort(ops, num_keys=2)
         bs, ms = srt[0], srt[1]
 
-    counts = jnp.bincount(bs, length=n_buckets + 1)
-    offsets = jnp.cumsum(counts) - counts
-    slot = jnp.arange(D) - offsets[bs]
+    # i32 throughout: every [D] transient here is 2x smaller than the
+    # x64 defaults, which matters exactly at the HBM-limit scales this
+    # path exists for (D < 2^31 always — the table ceiling is ~1.3e8)
+    counts = jnp.bincount(bs, length=n_buckets + 1).astype(jnp.int32)
+    offsets = (jnp.cumsum(counts) - counts).astype(jnp.int32)
+    slot = jnp.arange(D, dtype=jnp.int32) - offsets[bs]
     overflow = jnp.sum(jnp.maximum(counts[:n_buckets] - cap, 0))
 
     ok = (bs < n_buckets) & (slot < cap)
-    base = jnp.where(ok, bs * stride + slot * slot_w, n_buckets * stride)
+    base = jnp.where(ok, bs * jnp.int32(stride) + slot * jnp.int32(slot_w),
+                     jnp.int32(min(n_buckets * stride, 2**31 - 1)))
     # ONE scatter per slot column, all on flat 1D arrays: a [D, slot_w]
     # payload would be TPU-tiled (8, 128) with the minor dim padded
     # 3 -> 128 lanes — a 42x memory blowup (64 GB at a 2^27-key device
@@ -363,14 +391,15 @@ def layout_rows(m: jax.Array, masks: jax.Array, bucket: jax.Array,
     return table, overflow.astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def _layout_device(keys: jax.Array, masks: jax.Array, nbits: int, cap: int,
-                   stride: int, mixed: bool = True):
+                   stride: int, mixed: bool = True,
+                   pre_sorted: bool = False):
     m = keys if mixed else jnp.where(
         keys == U64(0xFFFFFFFFFFFFFFFF), keys, mix64(keys))
     dummy = jnp.zeros((), jnp.int32)   # bucket derives from m's top bits
     return layout_rows(m, masks, dummy, 1 << nbits, cap, stride,
-                       bucket_in_key=True)
+                       bucket_in_key=True, pre_sorted=pre_sorted)
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4, 5))

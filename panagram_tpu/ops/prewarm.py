@@ -142,11 +142,15 @@ def prewarm_dict_programs(k: int, ngenomes: int, chunk: int,
         submit(f"dict.union_{s}", _union_sorted,
                _sds((s,), jnp.uint64), _sds((s,), jnp.uint64))
     for m in sorted(merge_sizes):
-        submit(f"dict.merge_{m}", _merge_into,
-               _sds((capacity,), jnp.uint64),
-               _sds((capacity, W), jnp.uint32),
-               _sds((m,), jnp.uint64), W,
-               _sds((), jnp.int32))
+        # also warm the one-step-grown capacity: if the size estimate was
+        # low the builder doubles once and would otherwise eat a serial
+        # ~60 s merge recompile mid-build
+        for cap_ in (capacity, capacity * 2):
+            submit(f"dict.merge_{m}@{cap_}", _merge_into,
+                   _sds((cap_,), jnp.uint64),
+                   _sds((cap_, W), jnp.uint32),
+                   _sds((m,), jnp.uint64), W,
+                   _sds((), jnp.int32))
 
 
 def prewarm_anchor_programs(k: int, ngenomes: int, chunk: int,
