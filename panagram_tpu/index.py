@@ -1088,12 +1088,18 @@ class Genome:
             # shared `bucketed` uploads nothing per genome)
             # mixed-space dictionaries are stored globally sorted by mixed
             # value (devdict merge invariant / shard-major gather), so the
-            # layout can skip its grouping sort (halved HBM transients)
+            # layout can skip its grouping sort (halved HBM transients);
+            # pow2 padding keeps the layout program prewarm-compiled
             is_mixed = getattr(pan_dict, "key_space", "canon") == "mixed"
-            bd = bucketed if bucketed is not None else \
-                BucketedDict.build_device(
-                    pan_dict.keys, pan_dict.masks, N, k,
-                    mixed=is_mixed, sorted_input=is_mixed)
+            if bucketed is not None:
+                bd = bucketed
+            else:
+                from .ops.lookup import pad_pow2
+
+                pk, pm = pad_pow2(pan_dict.keys, pan_dict.masks)
+                bd = BucketedDict.build_device(
+                    pk, pm, N, k, mixed=is_mixed,
+                    count=len(pan_dict.keys), sorted_input=is_mixed)
             (t1,) = bd.device_arrays()
 
         if self.chrs is None:

@@ -555,16 +555,15 @@ DECODE_WORKERS = int(os.environ.get("PANAGRAM_TPU_DECODE_WORKERS", "2"))
 _piece_fns: dict = {}
 
 
-def _piece_dev(combined: jax.Array, start: int, piece_rows: int = _PIECE):
-    """Device dynamic-slice of one fixed-size piece, via ONE cached
-    program per buffer shape (a static slice per observed count would
-    recompile; remote compiles cost 30-500 s on this rig).  Returns
-    (device array [piece, rowb], piece)."""
+def piece_fn(rows: int, rowb: int, dtype, piece_rows: int = _PIECE):
+    """The cached fixed-size piece-slice program for a buffer shape (ONE
+    program per shape — a static slice per observed count would
+    recompile; remote compiles cost 30-500 s on this rig).  Exposed so
+    ops.prewarm can AOT-compile the exact programs a run will need."""
     import jax as _jax
 
-    rows, rowb = combined.shape
     piece = min(piece_rows, rows)
-    key = (rows, rowb, str(combined.dtype), piece)
+    key = (rows, rowb, str(jnp.dtype(dtype)), piece)
     fn = _piece_fns.get(key)
     if fn is None:
         def _slice(arr, s):
@@ -572,6 +571,14 @@ def _piece_dev(combined: jax.Array, start: int, piece_rows: int = _PIECE):
                                          (piece, rowb))
         fn = _jax.jit(_slice)
         _piece_fns[key] = fn
+    return fn, piece
+
+
+def _piece_dev(combined: jax.Array, start: int, piece_rows: int = _PIECE):
+    """Device dynamic-slice of one fixed-size piece via piece_fn.  Returns
+    (device array [piece, rowb], piece)."""
+    rows, rowb = combined.shape
+    fn, piece = piece_fn(rows, rowb, combined.dtype, piece_rows)
     return fn(combined, jnp.int32(start)), piece
 
 

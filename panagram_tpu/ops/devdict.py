@@ -102,19 +102,24 @@ _D2H_PIECE = 1 << 20    # rows per d2h piece (one cached slice program)
 _slice_fns: dict = {}
 
 
-def _piece_slice(arr: jax.Array, start: int, piece: int) -> jax.Array:
-    """Fixed-size device dynamic-slice [start:start+piece] of a row array,
-    via ONE cached program per (shape, dtype) — the piece size never
-    changes, so remote backends compile it exactly once."""
-    key = (arr.shape, str(arr.dtype), piece)
+def slice_fn(shape: tuple, dtype, piece: int):
+    """The cached fixed-size dynamic-slice program for a row-array shape
+    (ONE program per (shape, dtype, piece)); exposed for ops.prewarm."""
+    key = (tuple(shape), str(jnp.dtype(dtype)), piece)
     fn = _slice_fns.get(key)
     if fn is None:
-        sizes = (piece,) + arr.shape[1:]
-        zeros = (jnp.int32(0),) * (arr.ndim - 1)
+        sizes = (piece,) + tuple(shape[1:])
+        zeros = (jnp.int32(0),) * (len(shape) - 1)
         fn = jax.jit(lambda a, s: jax.lax.dynamic_slice(a, (s,) + zeros,
                                                         sizes))
         _slice_fns[key] = fn
-    return fn(arr, jnp.int32(start))
+    return fn
+
+
+def _piece_slice(arr: jax.Array, start: int, piece: int) -> jax.Array:
+    """Fixed-size device dynamic-slice [start:start+piece] of a row
+    array via slice_fn."""
+    return slice_fn(arr.shape, arr.dtype, piece)(arr, jnp.int32(start))
 
 
 def _stream_rows(arr: jax.Array, count: int) -> np.ndarray:

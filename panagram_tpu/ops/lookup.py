@@ -166,6 +166,23 @@ def check_hbm_budget(D: int, W: int, n_shards: int = 1,
             f"hash sharding; capacity scales linearly with mesh size).")
 
 
+def pad_pow2(keys: np.ndarray, masks: np.ndarray):
+    """SENTINEL-pad (keys, masks) to the next power-of-two length: the
+    device layout drops sentinel rows, and pow2-quantized input shapes
+    mean one compiled layout program per octave instead of one per exact
+    dictionary size (ops/prewarm.py can then AOT-compile it ahead)."""
+    D = len(keys)
+    P = 1 << max(int(np.ceil(np.log2(max(D, 2)))), 1)
+    if P == D:
+        return keys, masks
+    W = masks.shape[1] if masks.ndim == 2 else 1
+    pk = np.full(P, np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64)
+    pk[:D] = keys
+    pm = np.zeros((P, W), np.uint32)
+    pm[:D] = masks.reshape(D, W)
+    return pk, pm
+
+
 @dataclasses.dataclass
 class BucketedDict:
     """Single-probe bucketed hash layout of a pan-kmer dictionary."""

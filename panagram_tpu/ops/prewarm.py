@@ -151,6 +151,15 @@ def prewarm_dict_programs(k: int, ngenomes: int, chunk: int,
                    _sds((cap_, W), jnp.uint32),
                    _sds((m,), jnp.uint64), W,
                    _sds((), jnp.int32))
+    # to_host's d2h piece-slice programs
+    from .devdict import _D2H_PIECE, slice_fn
+
+    for shape, dt in (((capacity,), jnp.uint64),
+                      ((capacity, W), jnp.uint32)):
+        if capacity > _D2H_PIECE:
+            fn = slice_fn(shape, dt, _D2H_PIECE)
+            submit(f"dict.piece_{dt.__name__}", fn,
+                   _sds(shape, dt), _sds((), jnp.int32))
 
 
 def prewarm_anchor_programs(k: int, ngenomes: int, chunk: int,
@@ -158,16 +167,24 @@ def prewarm_anchor_programs(k: int, ngenomes: int, chunk: int,
     """Queue compiles for the streamed anchor engine against a dictionary
     of ~D keys, for each candidate D in `d_estimates` (layout geometry is
     pow2-quantized, so bracketing the estimate catches the real table
-    shape; a miss costs only concurrent service time)."""
+    shape; a miss costs only concurrent service time).  Covers the fused
+    RLE chunk kernel, the d2h piece-slice programs, and the sorted-input
+    device layout (for pow2-padded key arrays — index.pad_pow2)."""
     if not enabled():
         return
     from .anchor import (
+        PAL_CAP,
+        _PAL_PIECE,
+        _PIECE,
         anchor_chunk_rle2,
         anchor_chunk_rle4,
         pal_work_for,
+        piece_fn,
+        rle4_pal_bytes,
         rle_proto,
+        rle_row_bytes,
     )
-    from .lookup import row_pack, table_geometry
+    from .lookup import _layout_device, row_pack, table_geometry
 
     W = (ngenomes + 31) // 32
     nbytes = (ngenomes + 7) // 8
@@ -177,12 +194,19 @@ def prewarm_anchor_programs(k: int, ngenomes: int, chunk: int,
     pal_work = pal_work_for(cap_rle)
     proto = rle_proto(nbytes)
     seen: set[tuple] = set()
+    layouts: set[tuple] = set()
     for D in d_estimates:
         nbits, cap, stride = table_geometry(max(int(D), 1), W)
         nbits = max(nbits, 2)
         B = 1 << nbits
         pack = row_pack(stride, B)
         tshape = (B // pack, stride * pack)
+        # sorted-input layout over pow2-padded keys: P(D) is octave-
+        # quantized independently of nbits(D), so warm both P candidates
+        # for this geometry
+        P = _pow2ceil(int(D))
+        layouts.add((P, nbits, cap, stride))
+        layouts.add((2 * P, nbits, cap, stride))
         key = (tshape, nbits)
         if key in seen:
             continue
@@ -197,3 +221,21 @@ def prewarm_anchor_programs(k: int, ngenomes: int, chunk: int,
                    _sds((inlen,), jnp.uint8),
                    _sds(tshape, jnp.uint32),
                    L, k, nbits, cap, W, nbytes, cap_rle)
+    for (P, nbits, cap, stride) in sorted(layouts):
+        submit(f"anchor.layout_P{P}_b{nbits}", _layout_device,
+               _sds((P,), jnp.uint64), _sds((P, W), jnp.uint32),
+               nbits, cap, stride, True, True)
+    # d2h piece-slice programs (the drain's transfer path)
+    if proto == 4:
+        fn, _ = piece_fn(pal_work + 1, 3, jnp.uint8, _PIECE)
+        submit("anchor.piece_data", fn,
+               _sds((pal_work + 1, 3), jnp.uint8), _sds((), jnp.int32))
+        pw = rle4_pal_bytes(nbytes)
+        fn, _ = piece_fn(PAL_CAP + 3, pw, jnp.uint8, _PAL_PIECE)
+        submit("anchor.piece_pal", fn,
+               _sds((PAL_CAP + 3, pw), jnp.uint8), _sds((), jnp.int32))
+    else:
+        rowb = rle_row_bytes(nbytes)
+        fn, _ = piece_fn(cap_rle + 2, rowb, jnp.uint8, _PIECE)
+        submit("anchor.piece_rle2", fn,
+               _sds((cap_rle + 2, rowb), jnp.uint8), _sds((), jnp.int32))

@@ -366,12 +366,17 @@ def build_index(samples_or_dir: str, prefix=None, force=False,
     # lay out the query-time bucketed dictionary ONCE for all anchors,
     # ON DEVICE: uploading keys+masks and scattering there moves ~3.4x
     # fewer bytes than uploading a host-built (3x-padded) table, and the
-    # table never leaves HBM
-    from .ops.lookup import BucketedDict
+    # table never leaves HBM.  Keys are padded to a pow2 length so the
+    # layout program's shape is one prewarm_anchor_programs already
+    # compiled (remote compiles are the wall on this rig), and mixed
+    # dictionaries take the sorted-input layout (halved transients).
+    from .ops.lookup import BucketedDict, pad_pow2
 
+    is_mixed = pan_dict.key_space == "mixed"
+    pk, pm = pad_pow2(pan_dict.keys, pan_dict.masks)
     bucketed = BucketedDict.build_device(
-        pan_dict.keys, pan_dict.masks, index.ngenomes, index.k,
-        mixed=(pan_dict.key_space == "mixed"))
+        pk, pm, index.ngenomes, index.k,
+        mixed=is_mixed, count=len(pan_dict.keys), sorted_input=is_mixed)
 
     cores = max(int(getattr(index.conf, "cores", 1) or 1), 1)
     if cores > 1 and len(index.anchor_genomes) > 1:
