@@ -505,6 +505,19 @@ class Genome:
     def chr_count(self):
         return len(self.chrs)
 
+    def _anchor_chunk(self) -> int:
+        """Pow2 chunk ladder: a genome whose largest chromosome is far
+        below ANCHOR_CHUNK would otherwise pad every (single) chunk to 4M
+        positions — at the 100-genome scale row that is 2x wasted device
+        compute per 2 Mbp genome.  Pow2 quantization keeps the number of
+        distinct compiled programs logarithmic (and
+        prewarm_anchor_programs warms the expected size)."""
+        max_pos = int(self.chrs["size"].max()) if self.chrs is not None \
+            and len(self.chrs) else ANCHOR_CHUNK
+        return min(ANCHOR_CHUNK,
+                   max(1 << 18, 1 << max(int(np.ceil(np.log2(
+                       max(max_pos, 2)))), 1)))
+
     def init_chrs(self):
         fa = FastaFile(self._fasta_path)
         k = self.index.k
@@ -1076,12 +1089,16 @@ class Genome:
                         if dev.process_index == proc_id)
         else:
             # queue the anchor-chunk compile for the EXACT table geometry
-            # before building the layout: the remote compile runs
-            # concurrently with the layout work below instead of serially
-            # after it (ops/prewarm.py; no-op when already compiled)
+            # AND the actual pow2 chunk size before building the layout:
+            # the remote compile runs concurrently with the layout work
+            # below instead of serially after it (ops/prewarm.py; no-op
+            # when already compiled)
             from .ops.prewarm import prewarm_anchor_programs
 
-            prewarm_anchor_programs(k, N, ANCHOR_CHUNK,
+            if self.chrs is None:
+                self.init_chrs()
+            prewarm_anchor_programs(k, N,
+                                    self._anchor_chunk(),
                                     [len(pan_dict.keys)])
             # device-side layout: ~3.4x fewer h2d bytes than uploading a
             # host-built padded table (and device_arrays memoizes, so a
@@ -1130,7 +1147,7 @@ class Genome:
 
         logger.info("Anchoring Started")
 
-        chunk = ANCHOR_CHUNK
+        chunk = self._anchor_chunk()
         buf = np.empty(chunk + k - 1, np.uint8)
         chunk_state = {}   # run-count hint carried across chromosomes
         # wall-time per phase, logged at the end — the kernel work for a

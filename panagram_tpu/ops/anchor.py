@@ -923,16 +923,29 @@ def stream_anchor_chunks(codes: np.ndarray, nkmers: int, chunk: int,
             ib = _jnp.asarray(inbuf)
             hint = state.get("hint")
             pal_hint = state.get("pal_hint")
+            # dispatch through the AOT-prewarmed executable when one
+            # exists: the jit path re-enters the remote compile service
+            # even after an AOT warm (~60 s residual on this program,
+            # measured on the 100-genome row); the Compiled object does
+            # not (ops/prewarm.py)
+            from .prewarm import get_compiled
+
             if proto == 4:
-                combined = anchor_chunk_rle4(
-                    ib, table, L, k, bd.nbits, bd.cap, bd.nwords, nbytes,
-                    pal_work)
+                fn = get_compiled(("rle4", inbuf.shape[0],
+                                   tuple(table.shape), L, k, bd.nbits,
+                                   bd.cap, bd.nwords, nbytes, pal_work))
+                combined = fn(ib, table) if fn is not None else \
+                    anchor_chunk_rle4(ib, table, L, k, bd.nbits, bd.cap,
+                                      bd.nwords, nbytes, pal_work)
                 prefix = dispatch_rle4_prefix(combined[0], combined[1],
                                               hint, pal_hint)
             else:
-                combined = anchor_chunk_rle2(
-                    ib, table, L, k, bd.nbits, bd.cap, bd.nwords, nbytes,
-                    capacity)
+                fn = get_compiled(("rle2", inbuf.shape[0],
+                                   tuple(table.shape), L, k, bd.nbits,
+                                   bd.cap, bd.nwords, nbytes, capacity))
+                combined = fn(ib, table) if fn is not None else \
+                    anchor_chunk_rle2(ib, table, L, k, bd.nbits, bd.cap,
+                                      bd.nwords, nbytes, capacity)
                 prefix = dispatch_rle_prefix(combined, hint)
             pending.append(ex.submit(
                 _decode, (start, m, L, inbuf, combined, prefix,

@@ -311,13 +311,22 @@ class BucketedDict:
             hk = np.asarray(keys)[:D]
             hm = np.asarray(masks)[:D]
             return cls.build(hk, hm, ngenomes, k, mixed=bool(mixed))
+        from .prewarm import get_compiled
+
         for _ in range(8):
             # mixing happens INSIDE the jitted layout: at the 1e8-key scale
             # a second keys-sized array alive across the call is the
             # difference between fitting HBM and not (pre-mixed keys pass
-            # straight through — no extra array at all)
-            table, overflow = _layout_device(keys, masks, nbits, cap,
-                                             stride, mixed, sorted_input)
+            # straight through — no extra array at all).  Prefer the
+            # AOT-prewarmed executable (no compile-service re-entry).
+            fn = get_compiled(("layout", keys.shape[0], W, nbits, cap,
+                               stride, bool(mixed), bool(sorted_input)))
+            if fn is not None:
+                table, overflow = fn(keys, masks)
+            else:
+                table, overflow = _layout_device(keys, masks, nbits, cap,
+                                                 stride, mixed,
+                                                 sorted_input)
             if int(overflow) == 0:
                 pack = row_pack(stride, 1 << nbits)
                 table = table.reshape((1 << nbits) // pack, stride * pack)

@@ -124,7 +124,8 @@ def fused_popcount_colsums(rows: jax.Array, ngenomes: int):
 
 def _probe_kernel(blo_ref, qhi_ref, qlo_ref, table_ref, out_ref,
                   scratch, sems, *, nbits: int, cap: int, sub: int,
-                  pack: int, nwords: int, span: int, onehot: bool):
+                  pack: int, nwords: int, span: int, onehot: bool,
+                  ablate: int = 0):
     """Merge probe over one query tile (queries pre-sorted by mixed key).
 
     The table slice [span, pack*sub] covering this tile's bucket range is
@@ -166,7 +167,12 @@ def _probe_kernel(blo_ref, qhi_ref, qlo_ref, table_ref, out_ref,
     logp = pack.bit_length() - 1
     bl = jnp.clip((bucket >> logp) - blo_ref[t], 0, span - 1)
 
-    if onehot:
+    if ablate >= 1:
+        # measurement stub (tools/probe_ablate.py): DMA + everything
+        # downstream of the row-select, but the select itself replaced by
+        # a broadcast of row 0 (keeps the tab dependency live)
+        rows = jnp.broadcast_to(tab[0:1, :], (tile_q, stride))
+    elif onehot:
         # MXU path: one-hot [tile, span] int8 @ table byte-planes
         span_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_q, span), 1)
         oh = (span_ids == bl[:, None]).astype(jnp.int8)
@@ -185,6 +191,11 @@ def _probe_kernel(blo_ref, qhi_ref, qlo_ref, table_ref, out_ref,
         # take_along_axis (jnp.take's arbitrary gather it rejects)
         blx = jnp.broadcast_to(bl[:, None], (tile_q, stride))
         rows = jnp.take_along_axis(tab, blx, axis=0)    # [tile, stride]
+
+    if ablate >= 2:
+        # DMA-only stub: skip the match/roll tail too
+        out_ref[:] = jnp.broadcast_to(rows[0:1, 0:1], (nwords, tile_q))
+        return
 
     slot_w = 2 + nwords
     lane = jax.lax.broadcasted_iota(jnp.int32, (tile_q, stride), 1)
@@ -217,7 +228,8 @@ def _probe_kernel(blo_ref, qhi_ref, qlo_ref, table_ref, out_ref,
 def probe_sorted(qhi: jax.Array, qlo: jax.Array, blo: jax.Array,
                  table: jax.Array, nbits: int, cap: int, nwords: int,
                  span: int = SPAN, pack: int = 1,
-                 onehot: bool | None = None, tile_q: int = TILE_Q):
+                 onehot: bool | None = None, tile_q: int = TILE_Q,
+                 ablate: int = 0):
     """qhi/qlo u32 [Q] (grouped by bucket ascending), blo i32 [Q/tile_q]
     (first clamped packed-row index per tile), table u32 [B/pack,
     pack*sub] (pack adjacent buckets per row) -> rows u32 [W, Q].
@@ -240,7 +252,7 @@ def probe_sorted(qhi: jax.Array, qlo: jax.Array, blo: jax.Array,
     ntiles = Q // tile_q
     kern = partial(_probe_kernel, nbits=nbits, cap=cap,
                    sub=stride // pack, pack=pack,
-                   nwords=nwords, span=span, onehot=onehot)
+                   nwords=nwords, span=span, onehot=onehot, ablate=ablate)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ntiles,),

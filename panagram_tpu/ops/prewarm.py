@@ -43,6 +43,12 @@ logger = logging.getLogger("panagram_tpu")
 _pool: ThreadPoolExecutor | None = None
 _pool_lock = threading.Lock()
 _futures: list[Future] = []
+# AOT executables by structured key: consumers (stream_anchor_chunks,
+# build_device) dispatch through these DIRECTLY when available — the jit
+# path re-enters the compile service even after an AOT warm (a measured
+# ~60 s "relink" residual on the largest program), the Compiled object
+# does not
+_compiled: dict = {}
 
 # cap concurrent compile requests (service courtesy; measured fine at 2,
 # the dict+anchor stage sets fit comfortably)
@@ -64,12 +70,13 @@ def enabled() -> bool:
     return os.environ.get("PANAGRAM_TPU_PREWARM", "1") != "0"
 
 
-def submit(label: str, fn, *args) -> Future | None:
+def submit(label: str, fn, *args, key: tuple | None = None) -> Future | None:
     """Queue one AOT compile: fn.lower(*args).compile() on the pool.
 
     args mix ShapeDtypeStructs (traced) and real values (static);
     failures are logged and swallowed — a warm miss must never break the
-    build."""
+    build.  With `key`, the finished Compiled executable is published in
+    the registry for get_compiled() consumers."""
     if not enabled():
         return None
 
@@ -78,7 +85,9 @@ def submit(label: str, fn, *args) -> Future | None:
 
         t0 = time.perf_counter()
         try:
-            fn.lower(*args).compile()
+            compiled = fn.lower(*args).compile()
+            if key is not None:
+                _compiled[key] = compiled
             logger.info(
                 f"prewarm {label}: compiled in "
                 f"{time.perf_counter() - t0:.1f}s")
@@ -88,6 +97,13 @@ def submit(label: str, fn, *args) -> Future | None:
     f = _get_pool().submit(_work)
     _futures.append(f)
     return f
+
+
+def get_compiled(key: tuple):
+    """The AOT executable for `key`, or None (never compiled / still in
+    flight — callers fall back to the jit path, which joins the in-flight
+    service compile)."""
+    return _compiled.get(key)
 
 
 def wait_all(timeout: float | None = None):
@@ -215,16 +231,21 @@ def prewarm_anchor_programs(k: int, ngenomes: int, chunk: int,
             submit(f"anchor.rle4_D{D}", anchor_chunk_rle4,
                    _sds((inlen,), jnp.uint8),
                    _sds(tshape, jnp.uint32),
-                   L, k, nbits, cap, W, nbytes, pal_work)
+                   L, k, nbits, cap, W, nbytes, pal_work,
+                   key=("rle4", inlen, tshape, L, k, nbits, cap, W,
+                        nbytes, pal_work))
         else:
             submit(f"anchor.rle2_D{D}", anchor_chunk_rle2,
                    _sds((inlen,), jnp.uint8),
                    _sds(tshape, jnp.uint32),
-                   L, k, nbits, cap, W, nbytes, cap_rle)
+                   L, k, nbits, cap, W, nbytes, cap_rle,
+                   key=("rle2", inlen, tshape, L, k, nbits, cap, W,
+                        nbytes, cap_rle))
     for (P, nbits, cap, stride) in sorted(layouts):
         submit(f"anchor.layout_P{P}_b{nbits}", _layout_device,
                _sds((P,), jnp.uint64), _sds((P, W), jnp.uint32),
-               nbits, cap, stride, True, True)
+               nbits, cap, stride, True, True,
+               key=("layout", P, W, nbits, cap, stride, True, True))
     # d2h piece-slice programs (the drain's transfer path)
     if proto == 4:
         fn, _ = piece_fn(pal_work + 1, 3, jnp.uint8, _PIECE)

@@ -147,11 +147,12 @@ def build_dict_device(index: Index, force=False) -> str:
     # gzipped FASTA the file size is ~4x too small a proxy, which would
     # defeat the compile-exactly-once capacity — use the real
     # decompressed length instead (gzip ISIZE trailer, exact below 4 GB)
-    sizes = []
+    size_by_name = {}
     for n in index.genome_names:
         f = index.genomes[n]._fasta_path
         if f and os.path.exists(f):
-            sizes.append(_sequence_size_estimate(f))
+            size_by_name[n] = _sequence_size_estimate(f)
+    sizes = list(size_by_name.values())
     hint = int(max(sizes) * 1.5) if sizes else None
 
     b = DeviceDictBuilder(index.k, index.ngenomes, capacity_hint=hint)
@@ -171,8 +172,17 @@ def build_dict_device(index: Index, force=False) -> str:
         # between hint and a few x hint.
         from .index import ANCHOR_CHUNK
 
-        prewarm_anchor_programs(index.k, index.ngenomes, ANCHOR_CHUNK,
-                                [hint, 2 * hint, 4 * hint])
+        # warm the pow2 chunk sizes the anchors will actually use
+        # (Genome._anchor_chunk): the genome size bounds its largest
+        # chromosome, so {est, est/2} brackets the real pick
+        amax = max((size_by_name.get(n, 0)
+                    for n in index.anchor_genomes), default=0)
+        est = min(ANCHOR_CHUNK,
+                  max(1 << 18, 1 << max(int(np.ceil(np.log2(
+                      max(amax, 2)))), 1)))
+        for ch in {est, max(est // 2, 1 << 18), ANCHOR_CHUNK}:
+            prewarm_anchor_programs(index.k, index.ngenomes, ch,
+                                    [hint, 2 * hint, 4 * hint])
     phase = {"io": 0.0, "device": 0.0}
     for gid, name in enumerate(index.genome_names):
         g = index.genomes[name]
