@@ -1149,7 +1149,16 @@ class Genome:
 
         chunk = self._anchor_chunk()
         buf = np.empty(chunk + k - 1, np.uint8)
-        chunk_state = {}   # run-count hint carried across chromosomes
+        # run-count hint carried across chromosomes AND genomes (shared
+        # per index + chunk size): without it every genome's first chunk
+        # pays the speculative total//8 prefix transfer — at the
+        # 100-genome scale that is ~100 extra speculative reads.  Run
+        # counts are structural (haplotype density), so one genome's
+        # observed count is the right prior for the next.
+        hint_cache = getattr(self.index, "_chunk_hint_state", None)
+        if hint_cache is None:
+            hint_cache = self.index._chunk_hint_state = {}
+        chunk_state = hint_cache.setdefault(chunk, {})
         # wall-time per phase, logged at the end — the kernel work for a
         # 5 Mbp genome is sub-second, so anchor-stage wall is host-side;
         # this shows where (drain = device wait + RLE decode + packing)

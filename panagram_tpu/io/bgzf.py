@@ -61,6 +61,23 @@ def split_virtual_offset(voffset: int) -> tuple[int, int]:
     return voffset >> 16, voffset & 0xFFFF
 
 
+# bulk-write compression pool (write() path): blocks are independent, the
+# per-block compressors release the GIL; lazily built, shared per process
+_MT_MIN_BLOCKS = 8
+_mt_pool_obj = None
+
+
+def _mt_pool():
+    global _mt_pool_obj
+    if _mt_pool_obj is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _mt_pool_obj = ThreadPoolExecutor(
+            max_workers=min(4, os.cpu_count() or 1),
+            thread_name_prefix="panagram-bgzf")
+    return _mt_pool_obj
+
+
 def _try_native():
     try:
         from ..native import bgzf_native
@@ -109,28 +126,45 @@ class BgzfWriter:
                 data = data.tobytes()
         n = data.nbytes if isinstance(data, memoryview) else len(data)
         self._buf += data
+        nblocks = len(self._buf) // MAX_BLOCK_DATA
+        if nblocks >= _MT_MIN_BLOCKS:
+            # bulk path: BGZF blocks are independent deflate streams, and
+            # both the native compressor (ctypes) and zlib release the
+            # GIL — compressing large writes on a small pool keeps the
+            # anchor drain from serializing behind compression.  Output
+            # bytes are IDENTICAL to the serial path (same per-block
+            # compressor, order preserved by pool.map).
+            span = nblocks * MAX_BLOCK_DATA
+            raw = bytes(self._buf[:span])
+            del self._buf[:span]
+            chunks = [raw[i * MAX_BLOCK_DATA:(i + 1) * MAX_BLOCK_DATA]
+                      for i in range(nblocks)]
+            for i, block in enumerate(
+                    _mt_pool().map(self._compress_one, chunks)):
+                self._fh.write(block)
+                self._coffset += len(block)
+                self._uoffset += MAX_BLOCK_DATA
+                self._blocks.append((self._coffset, self._uoffset))
         while len(self._buf) >= MAX_BLOCK_DATA:
             self._flush_block(bytes(self._buf[:MAX_BLOCK_DATA]))
             del self._buf[:MAX_BLOCK_DATA]
         return n
 
-    def _flush_block(self, data: bytes):
+    def _compress_one(self, data: bytes) -> bytes:
         if self._native is not None:
-            block = self._native.compress_block(data, self.level)
-        else:
-            co = zlib.compressobj(self.level, zlib.DEFLATED, -15)
+            return self._native.compress_block(data, self.level)
+        co = zlib.compressobj(self.level, zlib.DEFLATED, -15)
+        payload = co.compress(data) + co.flush()
+        bsize = len(payload) + 26
+        if bsize > 65536:
+            co = zlib.compressobj(0, zlib.DEFLATED, -15)
             payload = co.compress(data) + co.flush()
             bsize = len(payload) + 26
-            if bsize > 65536:
-                # incompressible data: store at level 0
-                co = zlib.compressobj(0, zlib.DEFLATED, -15)
-                payload = co.compress(data) + co.flush()
-                bsize = len(payload) + 26
-            block = (
-                _block_header(bsize)
-                + payload
-                + struct.pack("<II", zlib.crc32(data), len(data))
-            )
+        return (_block_header(bsize) + payload
+                + struct.pack("<II", zlib.crc32(data), len(data)))
+
+    def _flush_block(self, data: bytes):
+        block = self._compress_one(data)
         self._fh.write(block)
         self._coffset += len(block)
         self._uoffset += len(data)

@@ -52,7 +52,11 @@ _compiled: dict = {}
 
 # cap concurrent compile requests (service courtesy; measured fine at 2,
 # the dict+anchor stage sets fit comfortably)
-_WORKERS = int(os.environ.get("PANAGRAM_TPU_PREWARM_WORKERS", "6"))
+_WORKERS = int(os.environ.get("PANAGRAM_TPU_PREWARM_WORKERS", "8"))
+# global submit dedup: repeated prewarm calls (dict stage + per-anchor)
+# must not occupy pool slots recompiling identical programs — slot
+# starvation delayed the one warm the 100-genome row actually needed
+_submitted: set = set()
 
 
 def _get_pool() -> ThreadPoolExecutor:
@@ -70,15 +74,31 @@ def enabled() -> bool:
     return os.environ.get("PANAGRAM_TPU_PREWARM", "1") != "0"
 
 
-def submit(label: str, fn, *args, key: tuple | None = None) -> Future | None:
+_exec_lock = threading.Lock()
+
+
+def submit(label: str, fn, *args, key: tuple | None = None,
+           execute: bool = False) -> Future | None:
     """Queue one AOT compile: fn.lower(*args).compile() on the pool.
 
     args mix ShapeDtypeStructs (traced) and real values (static);
     failures are logged and swallowed — a warm miss must never break the
     build.  With `key`, the finished Compiled executable is published in
-    the registry for get_compiled() consumers."""
+    the registry for get_compiled() consumers.
+
+    execute=True additionally runs the executable ONCE on zero-filled
+    dummy arguments: on this backend the FIRST execution of a program
+    pays a ~50 s device-side load regardless of how it was compiled
+    (measured on the 100-genome row's first anchor — AOT compile alone
+    did not remove it), so big programs are loaded during the warm.
+    Dummy allocations are serialized under a lock and freed immediately
+    (one table-sized transient at a time)."""
     if not enabled():
         return None
+    dedup = key if key is not None else label
+    if dedup in _submitted:
+        return None
+    _submitted.add(dedup)
 
     def _work():
         import time
@@ -93,6 +113,26 @@ def submit(label: str, fn, *args, key: tuple | None = None) -> Future | None:
                 f"{time.perf_counter() - t0:.1f}s")
         except Exception as e:  # noqa: BLE001 - warm misses are non-fatal
             logger.info(f"prewarm {label}: skipped ({type(e).__name__}: {e})")
+            return
+        if not execute:
+            return
+        t0 = time.perf_counter()
+        try:
+            with _exec_lock:
+                dargs = [jnp.zeros(a.shape, a.dtype) for a in args
+                         if isinstance(a, jax.ShapeDtypeStruct)]
+                out = compiled(*dargs)
+                jax.block_until_ready(out)
+                # tiny d2h: the only trustworthy completion barrier here
+                leaf = jax.tree_util.tree_leaves(out)[0]
+                np.asarray(leaf.ravel()[:1])
+                del out, dargs
+            logger.info(
+                f"prewarm {label}: loaded+executed in "
+                f"{time.perf_counter() - t0:.1f}s")
+        except Exception as e:  # noqa: BLE001
+            logger.info(f"prewarm {label}: execute skipped "
+                        f"({type(e).__name__}: {e})")
 
     f = _get_pool().submit(_work)
     _futures.append(f)
@@ -227,25 +267,31 @@ def prewarm_anchor_programs(k: int, ngenomes: int, chunk: int,
         if key in seen:
             continue
         seen.add(key)
+        # execution-warm when the dummy table transient is modest: the
+        # first execution of a program pays a ~50 s device-side load on
+        # this backend, compile alone does not cover it
+        texec = tshape[0] * tshape[1] * 4 <= (2 << 30)
         if proto == 4:
-            submit(f"anchor.rle4_D{D}", anchor_chunk_rle4,
+            submit(f"anchor.rle4_c{chunk}_D{D}", anchor_chunk_rle4,
                    _sds((inlen,), jnp.uint8),
                    _sds(tshape, jnp.uint32),
                    L, k, nbits, cap, W, nbytes, pal_work,
                    key=("rle4", inlen, tshape, L, k, nbits, cap, W,
-                        nbytes, pal_work))
+                        nbytes, pal_work), execute=texec)
         else:
-            submit(f"anchor.rle2_D{D}", anchor_chunk_rle2,
+            submit(f"anchor.rle2_c{chunk}_D{D}", anchor_chunk_rle2,
                    _sds((inlen,), jnp.uint8),
                    _sds(tshape, jnp.uint32),
                    L, k, nbits, cap, W, nbytes, cap_rle,
                    key=("rle2", inlen, tshape, L, k, nbits, cap, W,
-                        nbytes, cap_rle))
+                        nbytes, cap_rle), execute=texec)
     for (P, nbits, cap, stride) in sorted(layouts):
+        lexec = (P * (8 + 4 * W) + (1 << nbits) * stride * 4) <= (2 << 30)
         submit(f"anchor.layout_P{P}_b{nbits}", _layout_device,
                _sds((P,), jnp.uint64), _sds((P, W), jnp.uint32),
                nbits, cap, stride, True, True,
-               key=("layout", P, W, nbits, cap, stride, True, True))
+               key=("layout", P, W, nbits, cap, stride, True, True),
+               execute=lexec)
     # d2h piece-slice programs (the drain's transfer path)
     if proto == 4:
         fn, _ = piece_fn(pal_work + 1, 3, jnp.uint8, _PIECE)

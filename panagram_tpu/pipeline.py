@@ -180,7 +180,9 @@ def build_dict_device(index: Index, force=False) -> str:
         est = min(ANCHOR_CHUNK,
                   max(1 << 18, 1 << max(int(np.ceil(np.log2(
                       max(amax, 2)))), 1)))
-        for ch in {est, max(est // 2, 1 << 18), ANCHOR_CHUNK}:
+        # est first: it is the size the anchors will actually use, and
+        # pool slots are finite — duplicate submits are deduped globally
+        for ch in ([est] + ([ANCHOR_CHUNK] if ANCHOR_CHUNK != est else [])):
             prewarm_anchor_programs(index.k, index.ngenomes, ch,
                                     [hint, 2 * hint, 4 * hint])
     phase = {"io": 0.0, "device": 0.0}
