@@ -35,6 +35,10 @@ import numpy as np
 
 U64 = np.uint64
 _SENTINEL32 = np.uint32(0xFFFFFFFF)
+# flat 1D scatter indices are int32: tables at or beyond 2^31 u32 elements
+# (the 1e8-key W=1 table is exactly 2^31) scatter through a [rows, 128]
+# view instead (layout_rows; tests lower this to exercise that path)
+_FLAT_SCATTER_MAX = 2**31
 
 _M1 = U64(0xBF58476D1CE4E5B9)
 _M2 = U64(0x94D049BB133111EB)
@@ -398,18 +402,38 @@ def layout_rows(m: jax.Array, masks: jax.Array, bucket: jax.Array,
     overflow = jnp.sum(jnp.maximum(counts[:n_buckets] - cap, 0))
 
     ok = (bs < n_buckets) & (slot < cap)
-    base = jnp.where(ok, bs * jnp.int32(stride) + slot * jnp.int32(slot_w),
-                     jnp.int32(min(n_buckets * stride, 2**31 - 1)))
-    # ONE scatter per slot column, all on flat 1D arrays: a [D, slot_w]
+    # ONE scatter per slot column, all with 1D payloads: a [D, slot_w]
     # payload would be TPU-tiled (8, 128) with the minor dim padded
     # 3 -> 128 lanes — a 42x memory blowup (64 GB at a 2^27-key device
     # dictionary; the bigdict run caught it as a compile-time OOM)
-    table = jnp.full(n_buckets * stride, _SENTINEL32, jnp.uint32)
     cols = [(ms >> U64(32)).astype(jnp.uint32),
             (ms & U64(0xFFFFFFFF)).astype(jnp.uint32)]
     cols += [srt[2 + w] for w in range(W)]
-    for c, colv in enumerate(cols):
-        table = table.at[base + c].set(colv, mode="drop")
+    flat_n = n_buckets * stride
+    if flat_n < _FLAT_SCATTER_MAX:
+        base = jnp.where(ok, bs * jnp.int32(stride)
+                         + slot * jnp.int32(slot_w), jnp.int32(flat_n))
+        table = jnp.full(flat_n, _SENTINEL32, jnp.uint32)
+        for c, colv in enumerate(cols):
+            table = table.at[base + c].set(colv, mode="drop")
+    else:
+        # a flat int32 index cannot address >= 2^31 elements (the 1e8-key
+        # W=1 table is EXACTLY 2^31 u32) — scatter into a [rows, 128]
+        # view instead, with row/lane derived in 64-lane units so every
+        # intermediate stays int32: stride = 64*s, so the flat offset is
+        # 64*(bs*s + inner>>6) + (inner&63) with bs*s <= flat_n/64 < 2^26
+        s = stride // 64
+        nrows = flat_n // 128
+        inner = slot * jnp.int32(slot_w)       # < stride
+        q = bs * jnp.int32(s)
+        table = jnp.full((nrows, 128), _SENTINEL32, jnp.uint32)
+        for c, colv in enumerate(cols):
+            innc = inner + jnp.int32(c)
+            q64 = q + (innc >> 6)              # 64-lane unit index
+            r = jnp.where(ok, q64 >> 1, jnp.int32(nrows))
+            lane = ((q64 & 1) << 6) | (innc & 63)
+            table = table.at[r, lane].set(colv, mode="drop")
+        table = table.reshape(flat_n)
     # FLAT return: a [n_buckets, stride] device array is TPU-tiled (8, 128)
     # — stride 64 pads 2x (16 GB for a 2^25-bucket table).  Callers reshape
     # to a 128-multiple minor dim (free, layout-compatible) or to

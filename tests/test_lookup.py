@@ -534,3 +534,39 @@ def test_query_packed_pallas_path_matches_gather(rng, monkeypatch):
     want = np.asarray(bucket_query(canon, t1, bd.nbits, bd.cap, bd.nwords))
     assert got.shape == want.shape
     assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("ngenomes,pre_sorted", [(1, True), (1, False),
+                                                 (100, True)])
+def test_layout_rows_big_table_path(rng, monkeypatch, ngenomes, pre_sorted):
+    """Tables >= _FLAT_SCATTER_MAX u32 elements scatter through a
+    [rows, 128] view (flat int32 indices overflow at exactly 2^31 — the
+    1e8-key W=1 geometry).  Lower the threshold so the 2D path runs on a
+    tiny table and assert it is bit-identical to the flat path."""
+    import jax.numpy as jnp
+
+    from panagram_tpu.ops import lookup
+    from panagram_tpu.ops.lookup import layout_rows, mix64_np, table_geometry
+
+    W = (ngenomes + 31) // 32
+    keys = np.unique(rng.integers(0, 1 << 62, 3000, dtype=np.uint64))
+    m = np.sort(mix64_np(keys))
+    D = len(m)
+    masks = rng.integers(1, 1 << 32, (D, W), dtype=np.uint32)
+    # sentinel padding rows (the builder's fixed-capacity arrays)
+    P = 1 << int(np.ceil(np.log2(D + 1)))
+    mp = np.full(P, np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64)
+    mp[:D] = m
+    maskp = np.zeros((P, W), np.uint32)
+    maskp[:D] = masks
+
+    nbits, cap, stride = table_geometry(D, W)
+    args = (jnp.asarray(mp), jnp.asarray(maskp), jnp.zeros((), jnp.int32),
+            1 << nbits, cap, stride)
+    t_flat, ov_flat = layout_rows(*args, bucket_in_key=True,
+                                  pre_sorted=pre_sorted)
+    monkeypatch.setattr(lookup, "_FLAT_SCATTER_MAX", 1)
+    t_2d, ov_2d = layout_rows(*args, bucket_in_key=True,
+                              pre_sorted=pre_sorted)
+    assert int(ov_flat) == int(ov_2d) == 0
+    assert np.array_equal(np.asarray(t_flat), np.asarray(t_2d))

@@ -69,29 +69,21 @@ def main():
     assert D >= 1e8, f"expected >= 1e8 keys, got {D:,}"
 
     t0 = time.perf_counter()
-    # At 1.04e8 keys the DEVICE-side layout's transients (sort of 134M
-    # capacity rows next to the 8.6 GB table) overrun 16 GB HBM — measured
-    # ResourceExhausted even with packed-row tables and in-program mixing.
-    # The single-chip ceiling for the all-device layout is ~9e7 keys
-    # (check_hbm_budget reflects this); at the knife edge the layout
-    # routes via HOST (numpy bucket sort, minutes) and the finished table
-    # uploads once — anchoring then runs fully device-resident.
-    from panagram_tpu.ops.lookup import BucketedDict
-
-    d = b.to_host()
+    # Device layout at 1e8 keys (VERDICT r4 item 5): the merge invariant
+    # keeps the builder's arrays globally sorted by mixed key, so the
+    # sorted-input layout (no grouping sort — its in+out operand copies
+    # were what forced the round-4 host fallback) stays within HBM:
+    # 8.6 GB table + (8+4W+12) B/key transients.  No host round-trip of
+    # keys or table at all.
+    bd = b.bucketed()
     del b
-    t_host = time.perf_counter()
-    print(f"builder -> host mirror: {time.perf_counter()-t0:.1f}s",
-          flush=True)
-    bd = BucketedDict.build(d.keys, d.masks, n, k, mixed=True)
-    print(f"host layout: {time.perf_counter()-t_host:.1f}s", flush=True)
     (t1,) = bd.device_arrays()
     jax.block_until_ready(t1)
     t_layout = time.perf_counter() - t0
     table_gb = t1.size * 4 / 1e9
     print(f"bucket table: 2^{bd.nbits} x {bd.stride} u32 = {table_gb:.1f} GB "
           f"resident on device after {t_layout:.1f}s "
-          f"(host layout + one upload)", flush=True)
+          f"(sorted-input device layout)", flush=True)
 
     nbytes = (n + 7) // 8
     alen = int(args.anchor_mbp * 1e6)
