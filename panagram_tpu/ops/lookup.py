@@ -141,7 +141,12 @@ def check_hbm_budget(D: int, W: int, n_shards: int = 1,
     per_shard = -(-D // max(n_shards, 1))
     nbits, cap, stride = table_geometry(per_shard, W)
     table = (1 << nbits) * stride * 4 if include_table else 0
-    if device_layout == "sorted":
+    if device_layout == "chunked":
+        # P bucket-range passes over the sorted input, scattering into a
+        # DONATED full table: only the inputs stay key-proportional; each
+        # pass's slice transients are bounded by the fixed piece size
+        layout = (8 + 4 * W) * per_shard + (40 << 24)
+    elif device_layout == "sorted":
         # no grouping sort: inputs stay live (8 + 4W B/key) plus the i32
         # slot/base transients (~12 B/key) — about half the sorting
         # layout's footprint, which keeps 1e8-key layouts on device
@@ -295,15 +300,29 @@ class BucketedDict:
 
         nbits, cap, stride = table_geometry(D, W)
         nbits = max(nbits, min_nbits)
+        # route: single-pass (small tables), chunked P-pass (sorted input
+        # whose single-pass transients or flat int32 indices won't fit),
+        # or host layout (unsorted input beyond the transient budget)
+        route = "single"
         try:
             check_hbm_budget(
                 D, W, what="bucketed dict (device layout)",
                 device_layout="sorted" if sorted_input else True)
+            if sorted_input and (1 << nbits) * stride >= _FLAT_SCATTER_MAX:
+                route = "chunked"
         except RuntimeError:
+            route = "chunked" if sorted_input else "host"
+        if route == "chunked":
+            try:
+                check_hbm_budget(D, W, what="bucketed dict (chunked "
+                                 "device layout)", device_layout="chunked")
+            except RuntimeError:
+                route = "host"
+        if route == "host":
             # table alone fits but the device layout's transients do not:
-            # route the LAYOUT via host (numpy bucket sort + one upload;
-            # beyond even the sorted path's budget) — only re-raise when
-            # the finished table cannot fit, where --mesh is the answer
+            # route the LAYOUT via host (numpy bucket sort + one upload)
+            # — only re-raise when the finished table cannot fit, where
+            # --mesh is the answer
             check_hbm_budget(D, W, what="bucketed dict",
                              device_layout=False)
             import logging
@@ -323,14 +342,18 @@ class BucketedDict:
             # difference between fitting HBM and not (pre-mixed keys pass
             # straight through — no extra array at all).  Prefer the
             # AOT-prewarmed executable (no compile-service re-entry).
-            fn = get_compiled(("layout", keys.shape[0], W, nbits, cap,
-                               stride, bool(mixed), bool(sorted_input)))
-            if fn is not None:
-                table, overflow = fn(keys, masks)
+            if route == "chunked":
+                table, overflow = _layout_device_chunked(
+                    keys, masks, nbits, cap, stride, D)
             else:
-                table, overflow = _layout_device(keys, masks, nbits, cap,
-                                                 stride, mixed,
-                                                 sorted_input)
+                fn = get_compiled(("layout", keys.shape[0], W, nbits, cap,
+                                   stride, bool(mixed), bool(sorted_input)))
+                if fn is not None:
+                    table, overflow = fn(keys, masks)
+                else:
+                    table, overflow = _layout_device(keys, masks, nbits,
+                                                     cap, stride, mixed,
+                                                     sorted_input)
             if int(overflow) == 0:
                 pack = row_pack(stride, 1 << nbits)
                 table = table.reshape((1 << nbits) // pack, stride * pack)
@@ -450,6 +473,119 @@ def _layout_device(keys: jax.Array, masks: jax.Array, nbits: int, cap: int,
     dummy = jnp.zeros((), jnp.int32)   # bucket derives from m's top bits
     return layout_rows(m, masks, dummy, 1 << nbits, cap, stride,
                        bucket_in_key=True, pre_sorted=pre_sorted)
+
+
+def chunked_layout_pieces(N: int, nbits: int) -> int:
+    """Pass count for the chunked device layout: smallest power of two
+    keeping each pass's slice (hence its transients) under 2^24 rows
+    (PANAGRAM_TPU_LAYOUT_PIECE_ROWS overrides, for probes), clamped so
+    every piece covers at least one bucket."""
+    bound = int(os.environ.get("PANAGRAM_TPU_LAYOUT_PIECE_ROWS", 1 << 24))
+    P = 2
+    while -(-N // P) > bound:
+        P *= 2
+    return min(P, 1 << nbits)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _piece_bounds(keys: jax.Array, P: int):
+    """Row index of each bucket-range boundary in the globally sorted
+    mixed-key array: piece p of P covers mixed values [p, p+1) * 2^64/P,
+    i.e. buckets [p, p+1) * B/P for any nbits >= log2(P)."""
+    log2p = P.bit_length() - 1
+    vals = jnp.arange(1, P, dtype=jnp.uint64) << jnp.uint64(64 - log2p)
+    return jnp.searchsorted(keys, vals)
+
+
+@partial(jax.jit, static_argnums=(7, 8, 9, 10), donate_argnums=(0,))
+def _layout_piece(table: jax.Array, keys: jax.Array, masks: jax.Array,
+                  start: jax.Array, lo: jax.Array, hi: jax.Array,
+                  base_bucket: jax.Array, nbits: int, cap: int, stride: int,
+                  S: int):
+    """One bucket-range pass of the chunked device layout: scatter the
+    sorted rows [start+lo, start+hi) — a complete range of buckets
+    [base_bucket, base_bucket + B/P) — into the DONATED full table.
+
+    Only this pass's S-row slice produces transients; the 8.6 GB table
+    buffer is reused in place across passes (donate_argnums=0), which is
+    what keeps a 2^31-element (1e8-key) layout inside HBM where the
+    single-pass layout's key-proportional scatter temps crashed the
+    worker (VERDICT r4 item 5's P-pass design)."""
+    W = masks.shape[1]
+    slot_w = 2 + W
+    n_buckets = (table.shape[0] * 128) // stride  # == 1 << nbits
+    m = jax.lax.dynamic_slice(keys, (start,), (S,))
+    mk = jax.lax.dynamic_slice(masks, (start, jnp.int32(0)), (S, W))
+    idx = jnp.arange(S, dtype=jnp.int32)
+    valid = (idx >= lo) & (idx < hi)
+    bs = (m >> U64(64 - nbits)).astype(jnp.int32)
+    # local bucket ids for slot assignment: [lo, hi) is bucket-aligned, so
+    # valid rows land in [0, B/P); everything else (previous piece's tail,
+    # next piece's overrun, sentinel padding) parks in the sentinel bin so
+    # it can neither shift offsets nor fake an overflow.  length=B+1 is
+    # safe for any P and tiny next to the slice transients.
+    local = jnp.where(valid, bs - base_bucket, jnp.int32(n_buckets))
+    counts = jnp.bincount(local, length=n_buckets + 1).astype(jnp.int32)
+    offsets = (jnp.cumsum(counts) - counts).astype(jnp.int32)
+    slot = idx - lo - offsets[local]
+    ok = valid & (slot < cap)
+    overflow = jnp.sum(jnp.maximum(counts[:n_buckets] - cap, 0))
+
+    s64 = stride // 64
+    nrows = table.shape[0]
+    inner = slot * jnp.int32(slot_w)
+    q = bs * jnp.int32(s64)
+    cols = [(m >> U64(32)).astype(jnp.uint32),
+            (m & U64(0xFFFFFFFF)).astype(jnp.uint32)]
+    cols += [mk[:, w] for w in range(W)]
+    for c, colv in enumerate(cols):
+        innc = inner + jnp.int32(c)
+        q64 = q + (innc >> 6)
+        r = jnp.where(ok, q64 >> 1, jnp.int32(nrows))
+        lane = ((q64 & 1) << 6) | (innc & 63)
+        table = table.at[r, lane].set(colv, mode="drop")
+    return table, overflow.astype(jnp.int32)
+
+
+def _layout_device_chunked(keys: jax.Array, masks: jax.Array, nbits: int,
+                           cap: int, stride: int, count: int):
+    """Chunked device layout driver: P bucket-range passes with a donated
+    table (bounded transients — the all-device answer to the >9e7-key
+    host fallback).  keys must be globally sorted in MIXED space with
+    sentinel padding at the tail; `count` is the number of real rows."""
+    from .prewarm import get_compiled
+
+    N = keys.shape[0]
+    W = masks.shape[1]
+    P = chunked_layout_pieces(N, nbits)
+    fnb = get_compiled(("piece_bounds", N, P))
+    bounds = fnb(keys) if fnb is not None else _piece_bounds(keys, P)
+    bounds = np.concatenate([[0], np.asarray(bounds), [count]]).astype(
+        np.int64)
+    S = 1 << max(int(np.ceil(np.log2(max(np.diff(bounds).max(), 2)))), 1)
+    nrows = ((1 << nbits) * stride) // 128
+    table = jnp.full((nrows, 128), _SENTINEL32, jnp.uint32)
+    ovs = []
+    for p in range(P):
+        start = int(min(bounds[p], N - S))
+        lo = int(bounds[p] - start)
+        hi = int(bounds[p + 1] - start)
+        # ALWAYS the jit path here, never the prewarmed AOT executable:
+        # calling a Compiled object does not invalidate the donated table
+        # argument, so the runtime copies instead of aliasing — measured
+        # as a hard OOM at the 8 GiB 1e8-key table (the prewarm submit
+        # still seeds the compile-service memo, so this re-lowering costs
+        # only the ~5 s relink, once per process)
+        table, ov = _layout_piece(
+            table, keys, masks, jnp.int32(start), jnp.int32(lo),
+            jnp.int32(hi), jnp.int32(p * ((1 << nbits) // P)),
+            nbits, cap, stride, S)
+        # per-piece completion barrier: letting all P donated calls queue
+        # asynchronously OOMed at this scale (in-flight pieces' scatter
+        # temps stack up); one ~40 ms sync per piece is noise next to the
+        # multi-second piece walls
+        ovs.append(int(ov))
+    return table.reshape((1 << nbits) * stride), sum(ovs)
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4, 5))

@@ -285,7 +285,50 @@ def prewarm_anchor_programs(k: int, ngenomes: int, chunk: int,
                    L, k, nbits, cap, W, nbytes, cap_rle,
                    key=("rle2", inlen, tshape, L, k, nbits, cap, W,
                         nbytes, cap_rle), execute=texec)
+    from .lookup import (
+        _FLAT_SCATTER_MAX,
+        _layout_piece,
+        _piece_bounds,
+        check_hbm_budget,
+        chunked_layout_pieces,
+    )
+
     for (P, nbits, cap, stride) in sorted(layouts):
+        chunked = (1 << nbits) * stride >= _FLAT_SCATTER_MAX
+        if not chunked:
+            try:
+                check_hbm_budget(P, W, what="prewarm probe",
+                                 device_layout="sorted")
+            except RuntimeError:
+                chunked = True
+        if chunked:
+            # the P-pass chunked layout's programs: bucket-range bounds +
+            # the donated-table piece scatter.  The runtime piece size is
+            # pow2ceil(max real piece); under mix64 the pieces are uniform
+            # so the mean's octave (and one above, insurance) covers it.
+            np_ = chunked_layout_pieces(P, nbits)
+            # execution-warm: the first run of even this tiny program pays
+            # the ~40 s device-side load; its dummy is only the keys array
+            submit(f"anchor.piece_bounds_P{P}", _piece_bounds,
+                   _sds((P,), jnp.uint64), np_,
+                   key=("piece_bounds", P, np_),
+                   execute=P * 8 <= (2 << 30))
+            nrows = ((1 << nbits) * stride) // 128
+            S0 = _pow2ceil(-(-P // np_))
+            for S in {max(S0 // 2, 2), S0, 2 * S0}:
+                # NO registry key: the piece program DONATES its table
+                # argument, and calling a prewarmed Compiled object does
+                # not invalidate the donated array (the runtime copies —
+                # an instant OOM at 8 GiB tables).  The submit only seeds
+                # the compile-service memo for the jit path's relowering.
+                submit(f"anchor.layout_piece_P{P}_b{nbits}_S{S}",
+                       _layout_piece,
+                       _sds((nrows, 128), jnp.uint32),
+                       _sds((P,), jnp.uint64), _sds((P, W), jnp.uint32),
+                       _sds((), jnp.int32), _sds((), jnp.int32),
+                       _sds((), jnp.int32), _sds((), jnp.int32),
+                       nbits, cap, stride, S)
+            continue
         lexec = (P * (8 + 4 * W) + (1 << nbits) * stride * 4) <= (2 << 30)
         submit(f"anchor.layout_P{P}_b{nbits}", _layout_device,
                _sds((P,), jnp.uint64), _sds((P, W), jnp.uint32),

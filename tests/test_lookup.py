@@ -570,3 +570,38 @@ def test_layout_rows_big_table_path(rng, monkeypatch, ngenomes, pre_sorted):
                               pre_sorted=pre_sorted)
     assert int(ov_flat) == int(ov_2d) == 0
     assert np.array_equal(np.asarray(t_flat), np.asarray(t_2d))
+
+
+@pytest.mark.parametrize("ngenomes", [1, 100])
+def test_chunked_layout_matches_single_pass(rng, ngenomes):
+    """The P-pass chunked device layout (donated table, bucket-range
+    passes — the 1e8-key route) is bit-identical to the single-pass
+    sorted layout."""
+    import jax.numpy as jnp
+
+    from panagram_tpu.ops.lookup import (
+        _layout_device_chunked,
+        layout_rows,
+        mix64_np,
+        table_geometry,
+    )
+
+    W = (ngenomes + 31) // 32
+    keys = np.unique(rng.integers(0, 1 << 62, 4000, dtype=np.uint64))
+    m = np.sort(mix64_np(keys))
+    D = len(m)
+    masks = rng.integers(1, 1 << 32, (D, W), dtype=np.uint32)
+    P = 1 << int(np.ceil(np.log2(D + 1)))
+    mp = np.full(P, np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64)
+    mp[:D] = m
+    maskp = np.zeros((P, W), np.uint32)
+    maskp[:D] = masks
+
+    nbits, cap, stride = table_geometry(D, W)
+    t_flat, ov = layout_rows(jnp.asarray(mp), jnp.asarray(maskp),
+                             jnp.zeros((), jnp.int32), 1 << nbits, cap,
+                             stride, bucket_in_key=True, pre_sorted=True)
+    t_chunk, ov_c = _layout_device_chunked(
+        jnp.asarray(mp), jnp.asarray(maskp), nbits, cap, stride, D)
+    assert int(ov) == int(ov_c) == 0
+    assert np.array_equal(np.asarray(t_flat), np.asarray(t_chunk))

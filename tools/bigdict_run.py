@@ -53,6 +53,12 @@ def main():
     rng = np.random.default_rng(0)
     t0 = time.perf_counter()
     b = DeviceDictBuilder(k, n, capacity_hint=int(n * glen * 1.05))
+    # fire the anchor-stage + chunked-layout compiles NOW so they overlap
+    # the counting phase (the service compiles concurrently)
+    from panagram_tpu.ops.prewarm import prewarm_anchor_programs
+
+    prewarm_anchor_programs(k, n, 1 << 22,
+                            [int(n * glen), int(n * glen) // 2])
     genomes = []
     for g in range(n):
         codes = rng.integers(0, 4, glen, dtype=np.uint8)
