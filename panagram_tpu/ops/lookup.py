@@ -356,7 +356,14 @@ class BucketedDict:
                                                      sorted_input)
             if int(overflow) == 0:
                 pack = row_pack(stride, 1 << nbits)
-                table = table.reshape((1 << nbits) // pack, stride * pack)
+                tshape = ((1 << nbits) // pack, stride * pack)
+                if table.shape != tshape:
+                    # an EAGER reshape of a near-HBM-sized table COPIES
+                    # (measured OOM at the 8 GiB 1e8-key table): the
+                    # chunked driver already returns [B*stride/128, 128],
+                    # which for stride 64/128 IS the packed-row shape —
+                    # only oddball strides (192 etc.) retile here
+                    table = table.reshape(tshape)
                 return cls(table=table, nbits=nbits, cap=cap, stride=stride,
                            ngenomes=ngenomes, k=k, nwords=W)
             nbits += 1
@@ -585,7 +592,9 @@ def _layout_device_chunked(keys: jax.Array, masks: jax.Array, nbits: int,
         # temps stack up); one ~40 ms sync per piece is noise next to the
         # multi-second piece walls
         ovs.append(int(ov))
-    return table.reshape((1 << nbits) * stride), sum(ovs)
+    # return the [B*stride/128, 128] form as-is: flattening 2^31 elements
+    # eagerly would dispatch a COPY of the whole near-HBM-sized table
+    return table, sum(ovs)
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4, 5))

@@ -604,4 +604,7 @@ def test_chunked_layout_matches_single_pass(rng, ngenomes):
     t_chunk, ov_c = _layout_device_chunked(
         jnp.asarray(mp), jnp.asarray(maskp), nbits, cap, stride, D)
     assert int(ov) == int(ov_c) == 0
-    assert np.array_equal(np.asarray(t_flat), np.asarray(t_chunk))
+    # chunked returns the [B*stride/128, 128] form (no eager flatten of a
+    # near-HBM table); flat returns 1D — compare as flat
+    assert np.array_equal(np.asarray(t_flat),
+                          np.asarray(t_chunk).reshape(-1))
