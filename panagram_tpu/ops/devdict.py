@@ -122,6 +122,28 @@ def _piece_slice(arr: jax.Array, start: int, piece: int) -> jax.Array:
     return slice_fn(arr.shape, arr.dtype, piece)(arr, jnp.int32(start))
 
 
+_flat_fns: dict = {}
+
+
+def flat_fn(shape: tuple, dtype):
+    """Cached device flatten program for a 2D row array (a trivial copy).
+
+    2D dynamic-slice programs over [capacity, W] arrays compile
+    PATHOLOGICALLY on the remote service: the [2^22, 4] u32 shape measured
+    455.7 s in isolation vs 0.6 s for the flat (2^24,) equivalent — and a
+    long in-flight compile starves every execution RPC, which stalled the
+    whole 100-genome dict stage ~295 s behind this one program (round 5).
+    _stream_rows therefore flattens 2D arrays on device and streams the
+    1D form."""
+    key = (tuple(shape), str(jnp.dtype(dtype)))
+    fn = _flat_fns.get(key)
+    if fn is None:
+        n = int(np.prod(shape))
+        fn = jax.jit(lambda a: a.reshape(n))
+        _flat_fns[key] = fn
+    return fn
+
+
 def _stream_rows(arr: jax.Array, count: int) -> np.ndarray:
     """d2h only the first `count` rows of a capacity-sized device array.
 
@@ -133,6 +155,12 @@ def _stream_rows(arr: jax.Array, count: int) -> np.ndarray:
     from collections import deque
 
     cap = arr.shape[0]
+    if arr.ndim == 2 and cap > _D2H_PIECE and count < cap:
+        # stream the flat view: 1D slice programs compile in <1 s where
+        # the [capacity, W] 2D form takes minutes (see flat_fn)
+        ncols = arr.shape[1]
+        flat = flat_fn(arr.shape, arr.dtype)(arr)
+        return _stream_rows(flat, count * ncols).reshape(count, ncols)
     if count >= cap or cap <= _D2H_PIECE:
         return np.asarray(arr)[:count]
     pieces: deque = deque()

@@ -207,15 +207,20 @@ def prewarm_dict_programs(k: int, ngenomes: int, chunk: int,
                    _sds((cap_, W), jnp.uint32),
                    _sds((m,), jnp.uint64), W,
                    _sds((), jnp.int32))
-    # to_host's d2h piece-slice programs
-    from .devdict import _D2H_PIECE, slice_fn
+    # to_host's d2h piece-slice programs.  Masks stream FLAT: the 2D
+    # [capacity, W] slice program compiles pathologically (455.7 s in
+    # isolation vs 0.6 s flat) and starves all executions while in
+    # flight (devdict.flat_fn)
+    from .devdict import _D2H_PIECE, flat_fn, slice_fn
 
-    for shape, dt in (((capacity,), jnp.uint64),
-                      ((capacity, W), jnp.uint32)):
-        if capacity > _D2H_PIECE:
+    if capacity > _D2H_PIECE:
+        for shape, dt in (((capacity,), jnp.uint64),
+                          ((capacity * W,), jnp.uint32)):
             fn = slice_fn(shape, dt, _D2H_PIECE)
             submit(f"dict.piece_{dt.__name__}", fn,
                    _sds(shape, dt), _sds((), jnp.int32))
+        submit("dict.flat_masks", flat_fn((capacity, W), jnp.uint32),
+               _sds((capacity, W), jnp.uint32))
 
 
 def prewarm_anchor_programs(k: int, ngenomes: int, chunk: int,
