@@ -256,7 +256,16 @@ def prewarm_anchor_programs(k: int, ngenomes: int, chunk: int,
     proto = rle_proto(nbytes)
     seen: set[tuple] = set()
     layouts: set[tuple] = set()
-    for D in d_estimates:
+    # dummy executions serialize on the single device (and with the REAL
+    # work): only the LIKELY geometries — the first two estimates, plus
+    # one octave of layout-P insurance — are execute-warmed; the outer
+    # bracket candidates compile-only.  Round 5's 100-genome row measured
+    # the cost of warming everything: a P=33554432 dummy layout execute
+    # (insurance for a D that never materialised) was still holding the
+    # device 70 s into the first real anchor.
+    likely_P: set[int] = {2 * _pow2ceil(int(d_estimates[0]))} \
+        if d_estimates else set()
+    for i, D in enumerate(d_estimates):
         nbits, cap, stride = table_geometry(max(int(D), 1), W)
         nbits = max(nbits, 2)
         B = 1 << nbits
@@ -268,6 +277,8 @@ def prewarm_anchor_programs(k: int, ngenomes: int, chunk: int,
         P = _pow2ceil(int(D))
         layouts.add((P, nbits, cap, stride))
         layouts.add((2 * P, nbits, cap, stride))
+        if i < 2:
+            likely_P.add(P)
         key = (tshape, nbits)
         if key in seen:
             continue
@@ -275,7 +286,7 @@ def prewarm_anchor_programs(k: int, ngenomes: int, chunk: int,
         # execution-warm when the dummy table transient is modest: the
         # first execution of a program pays a ~50 s device-side load on
         # this backend, compile alone does not cover it
-        texec = tshape[0] * tshape[1] * 4 <= (2 << 30)
+        texec = i < 2 and tshape[0] * tshape[1] * 4 <= (2 << 30)
         if proto == 4:
             submit(f"anchor.rle4_c{chunk}_D{D}", anchor_chunk_rle4,
                    _sds((inlen,), jnp.uint8),
@@ -334,7 +345,8 @@ def prewarm_anchor_programs(k: int, ngenomes: int, chunk: int,
                        _sds((), jnp.int32), _sds((), jnp.int32),
                        nbits, cap, stride, S)
             continue
-        lexec = (P * (8 + 4 * W) + (1 << nbits) * stride * 4) <= (2 << 30)
+        lexec = P in likely_P and \
+            (P * (8 + 4 * W) + (1 << nbits) * stride * 4) <= (2 << 30)
         submit(f"anchor.layout_P{P}_b{nbits}", _layout_device,
                _sds((P,), jnp.uint64), _sds((P, W), jnp.uint32),
                nbits, cap, stride, True, True,
